@@ -1,0 +1,47 @@
+"""Test configuration: force an 8-device virtual CPU mesh so multi-chip
+sharding paths are exercised without TPU hardware (must run before jax
+imports anywhere)."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+@pytest.fixture(scope="session")
+def tiny_corpus(tmp_path_factory):
+    """Two tiny style corpora on disk (train/dev/test x style 0/1)."""
+    root = tmp_path_factory.mktemp("data") / "tiny"
+    root.mkdir()
+    neg = [
+        "the food was terrible and cold .",
+        "service was slow and rude .",
+        "i hated the dirty room .",
+        "worst pizza i have ever had .",
+        "the staff was awful and mean .",
+        "this place is a total mess .",
+    ]
+    pos = [
+        "the food was amazing and warm .",
+        "service was quick and friendly .",
+        "i loved the clean room .",
+        "best pizza i have ever had .",
+        "the staff was great and kind .",
+        "this place is a total gem .",
+    ]
+    for split, k in (("train", 6), ("dev", 4), ("test", 2)):
+        (root / f"style.{split}.0").write_text("\n".join(neg[:k]) + "\n")
+        (root / f"style.{split}.1").write_text("\n".join(pos[:k]) + "\n")
+    return str(root)

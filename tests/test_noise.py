@@ -1,0 +1,63 @@
+import numpy as np
+
+from consistent__style_transfer_tpu.data.noise import align, rand_perm, transfer_noise
+
+
+def _sentences(rng, n=32, lo=4, hi=18):
+    return [list(rng.integers(4, 100, size=rng.integers(lo, hi))) for _ in range(n)]
+
+
+def test_transfer_noise_preserves_multiset(rng):
+    sents = _sentences(rng)
+    noised = transfer_noise(sents, p=0.15, rng=rng)
+    flat_in = sorted(t for s in sents for t in s)
+    flat_out = sorted(t for s in noised for t in s)
+    assert flat_in == flat_out  # tokens are moved, never created/destroyed
+    assert len(noised) == len(sents)
+
+
+def test_transfer_noise_moves_tokens(rng):
+    sents = _sentences(rng)
+    noised = transfer_noise(sents, p=0.5, rng=rng)
+    assert any(a != b for a, b in zip(sents, noised))
+
+
+def test_transfer_noise_p0_identity(rng):
+    sents = _sentences(rng)
+    noised = transfer_noise(sents, p=0.0, rng=rng)
+    assert noised == [list(s) for s in sents]
+
+
+def test_rand_perm_preserves_lengths_and_multiset(rng):
+    sents = _sentences(rng)
+    out = rand_perm(sents, p=0.15, rng=rng)
+    assert [len(s) for s in out] == [len(s) for s in sents]
+    assert sorted(t for s in out for t in s) == sorted(t for s in sents for t in s)
+
+
+def test_rand_perm_rate(rng):
+    sents = [list(rng.integers(4, 10_000, size=20)) for _ in range(200)]
+    out = rand_perm(sents, p=0.15, rng=rng)
+    flat_in = [t for s in sents for t in s]
+    flat_out = [t for s in out for t in s]
+    changed = sum(a != b for a, b in zip(flat_in, flat_out))
+    # ~15% selected; a shuffled token keeps its slot with prob ~1/k, so the
+    # observed change rate is a bit under 0.15
+    assert 0.05 < changed / len(flat_in) < 0.25
+
+
+def test_align_shapes(rng):
+    sents = [[1, 2, 3], [4] * 10, []]
+    ids, lengths = align(sents, pad_value=0, max_len=5)
+    assert ids.shape == (3, 5)
+    assert lengths.tolist() == [3, 5, 0]
+    assert ids[0].tolist() == [1, 2, 3, 0, 0]
+    assert ids[1].tolist() == [4] * 5
+    np.testing.assert_array_equal(ids[2], 0)
+
+
+def test_seeded_determinism():
+    r1 = np.random.default_rng(7)
+    r2 = np.random.default_rng(7)
+    sents = [[1, 2, 3, 4, 5], [6, 7, 8, 9], [10, 11, 12]]
+    assert transfer_noise(sents, 0.3, r1) == transfer_noise(sents, 0.3, r2)
