@@ -1,0 +1,243 @@
+"""Style-conditioned denoising seq2seq generator (TPU-native redesign of the
+reference's ``DenoiseLSTM``, ``src/model/rnn.py``).
+
+Architecture parity (dims from ``src/model/rnn.py:11-14``):
+- token embedding d=128; encoder = 1-layer BiLSTM hidden=256 whose initial
+  hidden state is the *input-style* embedding (``rnn.py:57,62``), initial cell
+  is zero;
+- decoder = 1-layer LSTM hidden=512, initial h = *target-style* embedding,
+  initial c = LeakyReLU(0.1)(W_transfer @ [c_fwd; c_bwd]) (``rnn.py:67-69``);
+- per step: dot-product attention of the decoder output over encoder memory
+  scaled by sqrt(2*d_enc) (``rnn.py:46-50``), then
+  FFN(concat[o_t, a_t]) -> LeakyReLU(0.1) -> vocab logits (``rnn.py:78-80``).
+
+TPU redesign: the reference's per-token Python decode loop (``rnn.py:72-97``)
+— the wall-clock bottleneck of its optimize stage — is a single ``nn.scan``
+over a static ``max_len``, so the whole rollout (including the
+straight-through feedback path of the GAN stage) compiles into one XLA while
+loop with MXU-sized matmuls. Gate layout matches torch LSTM (i, f, g, o) so
+checkpoints can interop with the reference (utils/torch_interop.py).
+
+Decode modes (reference ``rnn.py:82-96``):
+- ``mode="st"``: differentiable decode — temperature softmax(tau), straight-
+  through hard sample fed back through the embedding table; returns *probs*.
+- ``mode="sched"``: scheduled sampling — per-step global coin picks teacher
+  forcing (p=1/2) vs greedy feedback; returns logits. With ``x=None`` this is
+  pure greedy decode over ``max_len`` steps.
+
+Soft-distribution *encoder* inputs (B, L, V) take the straight-through
+hard-sample path of ``rnn.py:52-53,61``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.sampling import hard_sample_st
+from .initializers import embedding_init, linear_kernel_init, lstm_init
+from .transformer import embed_or_project
+
+D_EMBED = 128
+D_ENC = 256
+D_DEC = 512
+P_DROP = 0.1
+
+
+class LSTMCell(nn.Module):
+    """Minimal LSTM cell with torch gate order (i, f, g, o) and
+    U(±1/sqrt(hidden)) init."""
+
+    hidden: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, carry, x):
+        h, c = carry
+        init = lstm_init(self.hidden)
+        gates = nn.Dense(4 * self.hidden, kernel_init=init, bias_init=init,
+                         dtype=self.dtype, name="ih")(x)
+        gates = gates + nn.Dense(4 * self.hidden, kernel_init=init,
+                                 bias_init=init, dtype=self.dtype, name="hh")(h)
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        c = nn.sigmoid(f) * c + nn.sigmoid(i) * jnp.tanh(g)
+        h = nn.sigmoid(o) * jnp.tanh(c)
+        return (h, c), h
+
+
+class _EncoderScan(nn.Module):
+    hidden: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, h0, xs):
+        """xs: (B, L, E); returns memory (B, L, H) and final (h, c)."""
+        scan = nn.scan(
+            LSTMCell,
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            in_axes=1,
+            out_axes=1,
+        )
+        c0 = jnp.zeros_like(h0)
+        (h, c), ys = scan(self.hidden, self.dtype, name="cell")((h0, c0), xs)
+        return ys, (h, c)
+
+
+class _DecoderStep(nn.Module):
+    """One decode step; scanned over time by `nn.scan` with per-step dropout
+    RNGs. Carry holds (h, c, x_t, memory); xs holds (teacher_embed_t, coin_t)."""
+
+    n_vocab: int
+    mode: str  # "st" | "sched"
+    tau: float
+    p_drop: float
+    deterministic: bool
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, carry, xs):
+        h, c, x_t, memory, emb_table = carry
+        teacher_emb, coin = xs
+
+        (h, c), o_t = LSTMCell(D_DEC, self.dtype, name="cell")((h, c), x_t)
+
+        # dot-product attention over encoder memory (scale sqrt(2*d_enc))
+        scores = jnp.einsum("bd,bld->bl", o_t, memory) / jnp.sqrt(
+            jnp.asarray(memory.shape[-1], self.dtype)
+        )
+        a_t = jnp.einsum("bl,bld->bd", nn.softmax(scores, axis=-1), memory)
+
+        i_ffn = jnp.concatenate([o_t, a_t], axis=-1)
+        i_ffn = nn.Dropout(self.p_drop)(i_ffn, deterministic=self.deterministic)
+        o_f1 = nn.Dense(D_DEC, kernel_init=linear_kernel_init,
+                        dtype=self.dtype, name="fn_1")(i_ffn)
+        logits_t = nn.Dense(self.n_vocab, use_bias=False,
+                            kernel_init=linear_kernel_init, dtype=self.dtype,
+                            name="fn_2")(nn.leaky_relu(o_f1, 0.1))
+
+        if self.mode == "st":
+            probs_t = nn.softmax(logits_t / self.tau, axis=-1)
+            x_next = hard_sample_st(probs_t) @ emb_table
+            out_t = probs_t
+        else:
+            greedy = jnp.take(emb_table, jnp.argmax(logits_t, axis=-1), axis=0)
+            x_next = jnp.where(coin, teacher_emb, greedy)
+            out_t = logits_t
+        x_next = nn.Dropout(self.p_drop)(x_next, deterministic=self.deterministic)
+        return (h, c, x_next, memory, emb_table), out_t
+
+
+class DenoiseSeq2Seq(nn.Module):
+    n_vocab: int
+    n_class: int
+    max_len: int
+    p_drop: float = P_DROP
+    dtype: jnp.dtype = jnp.float32
+    remat: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        inp: jnp.ndarray,
+        label_i: jnp.ndarray,
+        x: Optional[jnp.ndarray],
+        label: jnp.ndarray,
+        mode: str = "sched",
+        tau: float = 1.0,
+        deterministic: bool = False,
+    ) -> jnp.ndarray:
+        """Returns (B, L_out, V): probs when mode="st", logits otherwise.
+        L_out = x.shape[1] when a teacher x is given, else self.max_len
+        (reference ``rnn.py:65``)."""
+        assert mode in ("st", "sched")
+        token_embedding = nn.Embed(self.n_vocab, D_EMBED,
+                                   embedding_init=embedding_init,
+                                   dtype=self.dtype, name="token_embedding")
+        start_embedding = nn.Embed(1, D_EMBED, embedding_init=embedding_init,
+                                   dtype=self.dtype, name="start_embedding")
+        enc_style_embedding = nn.Embed(self.n_class, 2 * D_ENC,
+                                       embedding_init=embedding_init,
+                                       dtype=self.dtype,
+                                       name="enc_style_embedding")
+        style_embedding = nn.Embed(self.n_class, D_DEC,
+                                   embedding_init=embedding_init,
+                                   dtype=self.dtype, name="style_embedding")
+        transfer = nn.Dense(D_DEC, use_bias=False,
+                            kernel_init=linear_kernel_init, dtype=self.dtype,
+                            name="transfer")
+        emb_table = token_embedding.embedding.astype(self.dtype)
+
+        # ----- encode (BiLSTM, style-initialized hidden state, rnn.py:57-62)
+        if jnp.issubdtype(inp.dtype, jnp.integer):
+            e = nn.Dropout(self.p_drop)(token_embedding(inp),
+                                        deterministic=deterministic)
+        else:
+            e = hard_sample_st(inp.astype(self.dtype)) @ emb_table
+        h0_enc = enc_style_embedding(label_i)      # (B, 2*D_ENC)
+        h0_f, h0_b = jnp.split(h0_enc, 2, axis=-1)  # direction 0 / 1
+        mem_f, (_, c_f) = _EncoderScan(D_ENC, self.dtype, name="encoder_fwd")(h0_f, e)
+        mem_b, (_, c_b) = _EncoderScan(D_ENC, self.dtype, name="encoder_bwd")(
+            h0_b, jnp.flip(e, axis=1))
+        memory = jnp.concatenate([mem_f, jnp.flip(mem_b, axis=1)], axis=-1)
+        c_end = jnp.concatenate([c_f, c_b], axis=-1)
+
+        B = memory.shape[0]
+        L_out = self.max_len if x is None else x.shape[1]
+
+        h0 = style_embedding(label)                            # (B, D_DEC)
+        c0 = nn.leaky_relu(transfer(c_end), 0.1)               # (B, D_DEC)
+        x0 = start_embedding(jnp.zeros((B,), jnp.int32))       # (B, D_EMBED)
+        if x is not None:
+            teacher = jnp.take(emb_table, x, axis=0)           # (B, L, E)
+            teacher = jnp.swapaxes(teacher, 0, 1)              # (L, B, E)
+            if mode == "sched" and not self.is_initializing():
+                coin_key = self.make_rng("coin")
+                coins = jax.random.bernoulli(coin_key, 0.5, (L_out,))
+            else:
+                coins = jnp.zeros((L_out,), bool)
+        else:
+            teacher = jnp.zeros((L_out, B, D_EMBED), self.dtype)
+            coins = jnp.zeros((L_out,), bool)
+        coins = coins[:, None, None]  # broadcast against (B, E)
+
+        step_cls = _DecoderStep
+        if self.remat:
+            step_cls = nn.remat(
+                _DecoderStep,
+                static_argnums=(),
+                prevent_cse=False,
+            )
+        scan = nn.scan(
+            step_cls,
+            variable_broadcast="params",
+            split_rngs={"dropout": True, "params": False},
+            in_axes=0,
+            out_axes=0,
+        )
+        step = scan(
+            n_vocab=self.n_vocab,
+            mode=mode,
+            tau=tau,
+            p_drop=self.p_drop,
+            deterministic=deterministic,
+            dtype=self.dtype,
+            name="decoder",
+        )
+        carry0 = (h0, c0, x0, memory, emb_table)
+        _, outs = step(carry0, (teacher, coins))
+        return jnp.swapaxes(outs, 0, 1)  # (B, L_out, V)
+
+
+def greedy_transfer(model: DenoiseSeq2Seq, params, x, labels, rngs=None):
+    """Inference helper: transfer x to the opposite style with greedy decode
+    (reference test path, ``src/main_optimize.py:157-164``)."""
+    logits = model.apply(
+        params, x, labels, None, 1 - labels, mode="sched", deterministic=True,
+        rngs=rngs,
+    )
+    return jnp.argmax(logits, axis=-1)

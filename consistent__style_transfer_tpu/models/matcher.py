@@ -1,0 +1,48 @@
+"""BERT-style pair Matcher / content-preservation regressor (reference
+``src/model/match.py``): shared token + learned positional + segment
+embeddings; the two sentences are *concatenated along time* with segment ids
+0/1 and positions restarting per segment; 6-layer/8-head/d=512 transformer
+encoder; max-pool over time; linear to a scalar score. Trained to regress WMD
+(pretrain) and pushed toward ``--gap`` during optimize."""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from .initializers import embedding_init, linear_bias_init, linear_kernel_init
+from .transformer import TransformerEncoder, embed_or_project
+
+D_MODEL = 512
+N_HEAD = 8
+N_LAYER = 6
+MAX_POS = 100
+
+
+class PairMatcher(nn.Module):
+    n_vocab: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x1, x2, deterministic: bool = True):
+        tok = nn.Embed(self.n_vocab, D_MODEL, embedding_init=embedding_init,
+                       dtype=self.dtype, name="token_embedding")
+        pos = nn.Embed(MAX_POS, D_MODEL, embedding_init=embedding_init,
+                       dtype=self.dtype, name="posit_embedding")
+        seg = nn.Embed(2, D_MODEL, embedding_init=embedding_init,
+                       dtype=self.dtype, name="segment_embedding")
+        table = tok.embedding.astype(self.dtype)
+
+        def embed(x, seg_id):
+            e = embed_or_project(x, table)
+            e = e + pos(jnp.arange(x.shape[1]))[None, :, :]
+            return e + seg(jnp.full((x.shape[0],), seg_id, jnp.int32))[:, None, :]
+
+        h = jnp.concatenate([embed(x1, 0), embed(x2, 1)], axis=1)
+        h = TransformerEncoder(N_LAYER, D_MODEL, N_HEAD, dtype=self.dtype,
+                               name="matcher")(h, deterministic)
+        pooled = jnp.max(h, axis=1)
+        out = nn.Dense(1, kernel_init=linear_kernel_init,
+                       bias_init=linear_bias_init(D_MODEL), dtype=self.dtype,
+                       name="hidden2logits")(pooled)
+        return out[:, 0]
