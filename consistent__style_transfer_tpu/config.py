@@ -1,0 +1,153 @@
+"""Configuration tree for all stages — one dataclass instead of the
+reference's argparse + scattered hardcoded overrides (``src/arguments.py``,
+``src/main_warmup.py:115-122``). Knob names match the reference flags
+(w_s, w_c, w_adv, w_bt, tau, gap, epochs, ...) so ablation recipes carry over
+(``src/job.sh:9-18``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+
+
+@dataclass
+class MeshConfig:
+    """Device-mesh shape. data * model must divide len(jax.devices());
+    n_data=None uses every device on the data axis."""
+
+    n_data: int | None = None
+    n_model: int = 1
+
+
+@dataclass
+class Config:
+    dataset: str = "yelp"
+    ver: str = "v0"
+    mode: str = "train"  # train | test
+
+    # filesystem layout (same contract as the reference: everything talks
+    # through these directories)
+    data_dir: str = "data"
+    dump_dir: str = "dump"
+    log_dir: str = "log"
+    out_dir: str = "output"
+
+    # model / data
+    n_class: int = 2
+    p_drop: float = 0.1
+    vocab_size: int = 10000
+    max_len: int = 18
+    batch_size: int = 256
+
+    # optimize-stage loss weights (reference defaults, src/arguments.py:24-30)
+    w_s: float = 0.1
+    w_c: float = 0.5
+    w_adv: float = 1.0
+    w_bt: float = 1.0
+    tau: float = 0.1
+    gap: float = 0.0
+
+    # schedules
+    epochs: int = 10
+    pretrain_lr: float = 1e-4
+    warmup_lr: float = 1e-3
+    optimize_lr: float = 1e-5
+    warmup_epochs: int = 1
+    warmup_batch_size: int = 512
+    d_update_every: int = 4  # D steps every Nth batch (main_optimize.py:85-88)
+
+    # early stopping patience per stage (reference trainer configs)
+    pretrain_patience: int = 1
+    warmup_patience: int = 1
+    optimize_patience: int = 3
+
+    # grad-clip (global norm) per stage
+    pretrain_clip: float = 5.0
+    warmup_clip: float = 1.0
+    optimize_clip: float = 1.0
+
+    # TPU-native knobs (no reference equivalent)
+    seed: int = 0
+    dtype: str = "float32"  # compute dtype: float32 | bfloat16
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    use_pallas: bool = False  # fused kernels on TPU hot paths
+    sinkhorn_wmd: bool = True  # on-device WMD labels (False = exact host path)
+    remat_decode: bool = False
+
+    # derived paths
+    @property
+    def ds_data_dir(self) -> str:
+        return f"{self.data_dir}/{self.dataset}"
+
+    @property
+    def ds_dump_dir(self) -> str:
+        return f"{self.dump_dir}/{self.dataset}"
+
+    @property
+    def vocab_paths(self) -> tuple[str, str]:
+        return (
+            f"{self.ds_dump_dir}/{self.dataset}-vocab.json",
+            f"{self.ds_dump_dir}/{self.dataset}-merges.txt",
+        )
+
+    @property
+    def w2v_path(self) -> str:
+        return f"{self.ds_dump_dir}/{self.dataset}-w2v.npz"
+
+    @property
+    def run_out_dir(self) -> str:
+        return f"{self.out_dir}/{self.dataset}-{self.ver}"
+
+    def train_files(self) -> list[str]:
+        return [f"{self.ds_data_dir}/style.train.0", f"{self.ds_data_dir}/style.train.1"]
+
+    def split_files(self, split: str) -> list[str]:
+        return [f"{self.ds_data_dir}/style.{split}.0", f"{self.ds_data_dir}/style.{split}.1"]
+
+
+DATASET_PRESETS = {
+    # reference src/arguments.py:39-46
+    "yelp": {"max_len": 18, "batch_size": 256},
+    "book": {"max_len": 30, "batch_size": 128},
+}
+
+
+def make_config(dataset: str = "yelp", **overrides) -> Config:
+    cfg = Config(dataset=dataset)
+    preset = DATASET_PRESETS.get(dataset, {})
+    for k, v in {**preset, **overrides}.items():
+        if not hasattr(cfg, k):
+            raise ValueError(f"unknown config field {k!r}")
+        setattr(cfg, k, v)
+    return cfg
+
+
+def config_from_args(argv=None) -> Config:
+    """CLI flag parsing with the reference's knob names."""
+    import argparse
+
+    parser = argparse.ArgumentParser(description="tpu-st configuration")
+    for f in dataclasses.fields(Config):
+        if f.name == "mesh":
+            continue
+        ftype = f.type if isinstance(f.type, type) else str
+        if ftype is bool or (isinstance(f.type, str) and f.type == "bool"):
+            parser.add_argument(f"--{f.name}", type=lambda s: s.lower() in ("1", "true", "yes"))
+        else:
+            typemap = {"str": str, "int": int, "float": float}
+            t = typemap.get(str(f.type).replace(" | None", ""), str)
+            parser.add_argument(f"--{f.name}", type=t)
+    parser.add_argument("--n_data", type=int)
+    parser.add_argument("--n_model", type=int)
+    args = vars(parser.parse_args(argv))
+    dataset = args.pop("dataset", None) or "yelp"
+    n_data = args.pop("n_data", None)
+    n_model = args.pop("n_model", None)
+    overrides = {k: v for k, v in args.items() if v is not None}
+    cfg = make_config(dataset, **overrides)
+    if n_data is not None:
+        cfg.mesh.n_data = n_data
+    if n_model is not None:
+        cfg.mesh.n_model = n_model
+    return cfg

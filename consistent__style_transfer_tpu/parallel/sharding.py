@@ -1,0 +1,85 @@
+"""Sharding rules: params and batches -> NamedShardings over the mesh.
+
+Data parallelism shards the batch axis over ``data``; tensor parallelism
+shards the transformer attention/MLP and vocab-projection parameters over
+``model`` (Megatron-style column/row split pairs, so each layer needs exactly
+one psum, inserted automatically by XLA). Everything else is replicated.
+
+The reference's workload is tiny (<=6-layer d=512 models, <=30-token
+sentences), so DP is the strategy that matters; the TP rules exist as the
+scaling seam for the stretch T5-small backbone (BASELINE.json configs[4]) and
+are exercised in tests/test_parallel.py on a CPU mesh.
+"""
+
+from __future__ import annotations
+
+import re
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+# (path regex, PartitionSpec) — first match wins; paths look like
+# "params/lm/layer_0/self_attn/in_proj/kernel".
+TP_RULES: list[tuple[str, P]] = [
+    (r"self_attn/in_proj/kernel$", P(None, "model")),
+    (r"self_attn/in_proj/bias$", P("model")),
+    (r"self_attn/out_proj/kernel$", P("model", None)),
+    (r"linear1/kernel$", P(None, "model")),
+    (r"linear1/bias$", P("model")),
+    (r"linear2/kernel$", P("model", None)),
+    (r"fwd/kernel$", P(None, "model")),       # LM vocab head
+    (r"fwd/bias$", P("model")),
+    (r"fn_2/kernel$", P(None, "model")),      # generator vocab head
+]
+
+
+def _path_str(path) -> str:
+    return "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in path)
+
+
+def param_shardings(params, mesh: Mesh, rules=None):
+    """NamedSharding tree for a param pytree: TP rules where they match (and
+    the mesh has a model axis > 1), replicated otherwise."""
+    rules = TP_RULES if rules is None else rules
+    tp_on = mesh.shape.get("model", 1) > 1
+
+    def spec_for(path, leaf):
+        s = _path_str(path)
+        if tp_on:
+            for pat, spec in rules:
+                if re.search(pat, s):
+                    # guard: the sharded dim must divide evenly
+                    dims = [d for d in spec if d is not None]
+                    ok = True
+                    for axis_i, d in enumerate(spec):
+                        if d is not None and leaf.shape[axis_i] % mesh.shape[d] != 0:
+                            ok = False
+                    if ok:
+                        return NamedSharding(mesh, spec)
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(spec_for, params)
+
+
+def replicate(tree, mesh: Mesh):
+    return jax.device_put(tree, NamedSharding(mesh, P()))
+
+
+def shard_params(params, mesh: Mesh, rules=None):
+    return jax.device_put(params, param_shardings(params, mesh, rules))
+
+
+def batch_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
+    return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
+
+
+def shard_batch(batch: dict, mesh: Mesh) -> dict:
+    """Place a dict of host numpy arrays onto the mesh, sharded over the batch
+    (leading) axis. Batch sizes must divide the data-axis size — the pipeline
+    pads partial batches, so this holds by construction."""
+    out = {}
+    for k, v in batch.items():
+        v = np.asarray(v)
+        out[k] = jax.device_put(v, batch_sharding(mesh, v.ndim))
+    return out

@@ -1,0 +1,84 @@
+"""Shared stage plumbing: artifact resolution (tokenizer, word2vec), corpus
+loading, model construction, mesh setup."""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+
+from ..config import Config
+from ..data.corpus import StyleCorpus
+from ..models import (
+    DenoiseSeq2Seq,
+    PairMatcher,
+    RelGANDiscriminator,
+    TextCNN,
+    TransformerLM,
+)
+from ..parallel.mesh import make_mesh
+from ..text.bpe import BPETokenizer
+from ..text.word2vec import Word2Vec, train_token_w2v
+
+
+def compute_dtype(cfg: Config):
+    return jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+
+
+def get_tokenizer(cfg: Config) -> BPETokenizer:
+    """Load the dataset tokenizer, training it first if the dump is missing
+    (reference ``src/vocab.py:50-65`` CLI behavior)."""
+    vocab_path, merges_path = cfg.vocab_paths
+    if not (os.path.exists(vocab_path) and os.path.exists(merges_path)):
+        tok = BPETokenizer.train(cfg.train_files(), cfg.vocab_size)
+        tok.save(cfg.ds_dump_dir, cfg.dataset)
+    return BPETokenizer.load(vocab_path, merges_path)
+
+
+def get_w2v(cfg: Config, tokenizer) -> Word2Vec:
+    """Load the WMD word2vec, training it first if missing (reference
+    ``src/wmd.py:58-75``); vectors normalized like ``init_sims(replace=True)``."""
+    if not os.path.exists(cfg.w2v_path):
+        w2v = train_token_w2v(cfg.train_files(), tokenizer, epochs=10, seed=cfg.seed)
+        w2v.save(cfg.w2v_path)
+    w2v = Word2Vec.load(cfg.w2v_path)
+    w2v.init_sims()
+    return w2v
+
+
+def get_corpus(cfg: Config, split: str, tokenizer) -> StyleCorpus:
+    return StyleCorpus.from_files(cfg.split_files(split), tokenizer, cfg.max_len)
+
+
+def get_mesh(cfg: Config):
+    return make_mesh(cfg.mesh.n_data, cfg.mesh.n_model)
+
+
+def build_generator(cfg: Config, n_vocab: int) -> DenoiseSeq2Seq:
+    return DenoiseSeq2Seq(
+        n_vocab=n_vocab, n_class=cfg.n_class, max_len=cfg.max_len,
+        p_drop=cfg.p_drop, dtype=compute_dtype(cfg), remat=cfg.remat_decode,
+    )
+
+
+def build_classifier(cfg: Config, n_vocab: int) -> TextCNN:
+    return TextCNN(n_vocab=n_vocab, n_class=cfg.n_class, dtype=compute_dtype(cfg))
+
+
+def build_matcher(cfg: Config, n_vocab: int) -> PairMatcher:
+    return PairMatcher(n_vocab=n_vocab, dtype=compute_dtype(cfg))
+
+
+def build_lm(cfg: Config, n_vocab: int) -> TransformerLM:
+    return TransformerLM(n_vocab=n_vocab, n_class=cfg.n_class, dtype=compute_dtype(cfg))
+
+
+def build_discriminator(cfg: Config, n_vocab: int) -> RelGANDiscriminator:
+    return RelGANDiscriminator(n_vocab=n_vocab, dtype=compute_dtype(cfg))
+
+
+def step_rngs(base_key, step: int, names=("dropout", "coin")) -> dict:
+    key = jax.random.fold_in(base_key, step)
+    keys = jax.random.split(key, len(names))
+    return dict(zip(names, keys))

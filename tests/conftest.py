@@ -1,15 +1,23 @@
 """Test configuration: force an 8-device virtual CPU mesh so multi-chip
-sharding paths are exercised without TPU hardware (must run before jax
-imports anywhere)."""
+sharding paths are exercised without TPU hardware.
+
+Note: this environment pre-imports jax at interpreter startup (site hook for
+the TPU tunnel), so JAX_PLATFORMS env tweaks are too late here — we must go
+through ``jax.config.update``. XLA_FLAGS is still read lazily at first
+backend init, which has not happened yet at conftest import time.
+"""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
