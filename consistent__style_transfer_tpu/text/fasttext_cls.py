@@ -1,0 +1,195 @@
+"""fasttext-style supervised text classifier (TPU-native replacement for the
+C++ ``fasttext`` dependency of the eval harness, ``evaluate/prepare.py:53``,
+``evaluate/eval.py:32``).
+
+Matches fasttext's *default* supervised setup (what ``train_supervised`` with
+no extra args gives, which is what the reference uses): bag-of-words averaged
+embeddings (dim=100), linear softmax over labels, 5 epochs, lr 0.1 with linear
+decay, minCount=1, wordNgrams=1, whitespace tokenization with an ``</s>`` EOS
+token per line. Training is a jitted minibatch-SGD XLA program (fasttext does
+async per-example SGD; at these corpus sizes the two converge to equivalent
+classifiers — the metric contract is P@1-level, not bit-level).
+
+File format parity: train/test files are ``__label__<y>\\t<text>`` lines;
+``predict(text, k)`` returns (labels, probs) with fasttext's ordering
+(descending probability) and ``model.labels`` lists label strings.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections import Counter
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+EOS_WORD = "</s>"
+
+
+def _parse_line(line: str) -> tuple[str, str] | None:
+    line = line.rstrip("\n")
+    if not line:
+        return None
+    if "\t" in line:
+        head, text = line.split("\t", 1)
+    else:
+        head, _, text = line.partition(" ")
+    return head.strip(), text.strip()
+
+
+def _tokens(text: str) -> list[str]:
+    return text.split() + [EOS_WORD]
+
+
+class FastTextClassifier:
+    def __init__(self, dim: int = 100, lr: float = 0.1, epochs: int = 5,
+                 min_count: int = 1, batch_size: int = 256, seed: int = 0,
+                 max_len: int = 64):
+        self.dim = dim
+        self.lr = lr
+        self.epochs = epochs
+        self.min_count = min_count
+        self.batch_size = batch_size
+        self.seed = seed
+        self.max_len = max_len
+        self.vocab: dict[str, int] = {}
+        self.labels: list[str] = []
+        self.emb: np.ndarray | None = None   # (V+1, D); row 0 = pad
+        self.out: np.ndarray | None = None   # (D, n_labels)
+
+    # ------------------------------------------------------------------ train
+    def fit_file(self, path: str) -> "FastTextClassifier":
+        labels, texts = [], []
+        with open(path, "r", encoding="utf-8") as f:
+            for line in f:
+                parsed = _parse_line(line)
+                if parsed:
+                    labels.append(parsed[0])
+                    texts.append(parsed[1])
+        return self.fit(texts, labels)
+
+    def fit(self, texts, labels) -> "FastTextClassifier":
+        counts = Counter(t for s in texts for t in _tokens(s))
+        self.vocab = {
+            w: i + 1
+            for i, (w, _) in enumerate(
+                sorted((wc for wc in counts.items() if wc[1] >= self.min_count),
+                       key=lambda wc: (-wc[1], wc[0]))
+            )
+        }
+        self.labels = sorted(set(labels))
+        lab_idx = {l: i for i, l in enumerate(self.labels)}
+        V, D, C = len(self.vocab), self.dim, len(self.labels)
+
+        N = len(texts)
+        ids = np.zeros((N, self.max_len), np.int32)
+        lens = np.zeros(N, np.float32)
+        y = np.array([lab_idx[l] for l in labels], np.int32)
+        for i, s in enumerate(texts):
+            toks = [self.vocab[t] for t in _tokens(s) if t in self.vocab][: self.max_len]
+            ids[i, : len(toks)] = toks
+            lens[i] = max(len(toks), 1)
+
+        rng = np.random.default_rng(self.seed)
+        emb = ((rng.random((V + 1, D)) - 0.5) / D).astype(np.float32)
+        emb[0] = 0
+        out = np.zeros((D, C), np.float32)
+
+        base_lr, total = self.lr, self.epochs * N
+
+        # fasttext's sequential per-example SGD, exactly, as one XLA scan per
+        # epoch: hidden = mean(emb[words]); softmax CE; out and each input row
+        # get the raw per-example gradient (input rows scaled by 1/n_words),
+        # with the lr decaying linearly over all epochs.
+        @jax.jit
+        def run_epoch(emb, out, eids, elens, eys, t0):
+            def body(carry, xs):
+                emb, out, t = carry
+                row, n, yy = xs
+                mask = (jax.lax.broadcasted_iota(jnp.int32, (self.max_len, 1), 0)
+                        .squeeze(-1) < n.astype(jnp.int32))
+                vecs = jnp.take(emb, row, axis=0)
+                vecs = jnp.where(mask[:, None], vecs, 0.0)
+                hidden = vecs.sum(0) / n
+                p = jax.nn.softmax(hidden @ out)
+                err = p.at[yy].add(-1.0)                    # dL/dlogits
+                lr = base_lr * jnp.maximum(1.0 - t / total, 1e-4)
+                g_hidden = out @ err                        # (D,)
+                out = out - lr * jnp.outer(hidden, err)
+                upd = jnp.where(mask[:, None], -lr * g_hidden / n, 0.0)
+                emb = emb.at[row].add(upd)
+                return (emb, out, t + 1.0), None
+
+            (emb, out, t), _ = jax.lax.scan(body, (emb, out, t0),
+                                            (eids, elens, eys))
+            return emb, out, t
+
+        emb_j, out_j = jnp.asarray(emb), jnp.asarray(out)
+        t = jnp.float32(0)
+        for _ in range(self.epochs):
+            order = rng.permutation(N)
+            emb_j, out_j, t = run_epoch(emb_j, out_j, ids[order], lens[order],
+                                        y[order], t)
+        self.emb = np.array(emb_j)  # copy: jax buffers are read-only
+        self.emb[0] = 0
+        self.out = np.array(out_j)
+        return self
+
+    # ---------------------------------------------------------------- predict
+    def _probs(self, text: str) -> np.ndarray:
+        toks = [self.vocab[t] for t in _tokens(text) if t in self.vocab]
+        if not toks:
+            vec = np.zeros(self.dim, np.float32)
+        else:
+            vec = self.emb[toks].mean(0)
+        logits = vec @ self.out
+        e = np.exp(logits - logits.max())
+        return e / e.sum()
+
+    def predict(self, text: str, k: int = 1):
+        """fasttext API: returns (labels tuple, probs array), descending."""
+        probs = self._probs(text)
+        order = np.argsort(-probs)[:k]
+        return tuple(self.labels[i] for i in order), probs[order]
+
+    def test(self, path: str) -> tuple[int, float, float]:
+        """fasttext ``model.test``: (N, P@1, R@1)."""
+        n, correct = 0, 0
+        with open(path, "r", encoding="utf-8") as f:
+            for line in f:
+                parsed = _parse_line(line)
+                if not parsed:
+                    continue
+                gold, text = parsed
+                pred, _ = self.predict(text, k=1)
+                n += 1
+                correct += int(pred[0] == gold)
+        p = correct / max(n, 1)
+        return n, p, p
+
+    # --------------------------------------------------------------------- io
+    def save_model(self, path: str) -> None:
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        np.savez(
+            path if path.endswith(".npz") else path + ".npz",
+            emb=self.emb, out=self.out,
+            meta=np.frombuffer(json.dumps({
+                "vocab": self.vocab, "labels": self.labels, "dim": self.dim,
+                "max_len": self.max_len,
+            }).encode(), dtype=np.uint8),
+        )
+
+    @classmethod
+    def load_model(cls, path: str) -> "FastTextClassifier":
+        if not path.endswith(".npz"):
+            path = path + ".npz"
+        data = np.load(path)
+        meta = json.loads(bytes(data["meta"]).decode())
+        m = cls(dim=meta["dim"], max_len=meta.get("max_len", 64))
+        m.vocab = {k: int(v) for k, v in meta["vocab"].items()}
+        m.labels = meta["labels"]
+        m.emb = data["emb"]
+        m.out = data["out"]
+        return m

@@ -1,0 +1,77 @@
+"""Inference: greedy style transfer of whole splits into ``.tsf`` text files.
+
+Output contract matches the reference exactly (``src/main_optimize.py:157-174``
++ ``:243-255``): for each split in (train, test), decode every sentence to the
+*opposite* style with a greedy ``max_len`` rollout, BPE-decode, and route by
+the *source* label into ``output/<ds>-<ver>/style.<split>.{0,1}.tsf``.
+Transferring the train split exists to feed the NT adversarial classifier
+(``evaluate/prepare.py:83-98``).
+
+The decode loop is one jitted scan per batch; batches stream through the mesh
+data axis and only the argmax token ids come back to host."""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..data.pipeline import make_batches
+from ..parallel.sharding import shard_batch
+from .common import get_corpus, get_mesh
+
+
+def make_transfer_step(model):
+    @jax.jit
+    def step(params, x, labels):
+        logits = model.apply(params, x, labels, None, 1 - labels,
+                             mode="sched", deterministic=True)
+        return jnp.argmax(logits, axis=-1)
+
+    return step
+
+
+def transfer_split(cfg: Config, model, params, tokenizer, split: str,
+                   mesh=None, step_fn=None) -> dict[int, list[str]]:
+    """Greedy-transfer one split; returns {source_label: [decoded lines]} in
+    corpus order."""
+    mesh = mesh or get_mesh(cfg)
+    step_fn = step_fn or make_transfer_step(model)
+    corpus = get_corpus(cfg, split, tokenizer)
+    it = make_batches(corpus, cfg.batch_size, cfg.max_len, "optimize",
+                      shuffle=False, seed=cfg.seed)
+    routed: dict[int, list[str]] = {0: [], 1: []}
+    for batch in it:
+        arrays = shard_batch(batch.arrays, mesh)
+        tokens = np.asarray(step_fn(params, arrays["x"], arrays["labels"]))
+        labels = batch["labels"]
+        for i in range(batch.valid):
+            routed[int(labels[i])].append(tokenizer.decode(tokens[i].tolist()))
+    return routed
+
+
+def write_tsf(cfg: Config, split: str, routed: dict[int, list[str]]) -> list[str]:
+    os.makedirs(cfg.run_out_dir, exist_ok=True)
+    paths = []
+    for label in (0, 1):
+        path = f"{cfg.run_out_dir}/style.{split}.{label}.tsf"
+        with open(path, "w", encoding="utf-8") as f:
+            for line in routed[label]:
+                f.write(line + "\n")
+        paths.append(path)
+    return paths
+
+
+def run_inference(cfg: Config, model, params, tokenizer,
+                  splits=("train", "test")) -> list[str]:
+    mesh = get_mesh(cfg)
+    step_fn = make_transfer_step(model)
+    out_paths: list[str] = []
+    for split in splits:
+        routed = transfer_split(cfg, model, params, tokenizer, split,
+                                mesh=mesh, step_fn=step_fn)
+        out_paths += write_tsf(cfg, split, routed)
+    return out_paths

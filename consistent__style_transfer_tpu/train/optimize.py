@@ -1,0 +1,270 @@
+"""Optimize stage: adversarial style-transfer fine-tuning of the generator
+(reference ``src/main_optimize.py``).
+
+Faithful semantics:
+- loads frozen pretrain scorers (cls/mat/dn) + the warmup generator
+  (``main_optimize.py:33-54``);
+- two Adam(1e-5) optimizers behind clip 1.0: G applies every batch, D
+  *accumulates* gradients across 4 consecutive batches and applies on
+  ``batch_idx % 4 == 0`` (PL zero_grads only on step — ``main_optimize.py:78-88``);
+- G step (``:96-113``): differentiable straight-through decode sample_p =
+  G(x, src, None, 1-src, "softmax", tau); losses s=CE(cls(sample_p), 1-src),
+  c=MSE(mat(sample_p, x), gap), adv=BCE(D(sample_p), 1) with D in eval mode,
+  bk=CE(G(argmax(sample_p), 1-src, teacher=x, src), x); total =
+  w_bt*bk + w_c*c + w_adv*adv + w_s*s. The frozen cls/mat run in *train* mode
+  (dropout active) exactly like the reference (PL train mode, only
+  ``self.disc.eval()`` is explicit);
+- D step (``:115-124``): real = D(x) (an embedding gather — math-identical to
+  the reference's (B, L, V) one-hot matmul), fake = D(stop_grad(st decode));
+  loss = w_adv * 0.5 * (BCE(real, 1) + BCE(fake, 0));
+- validation (``:127-141``): tokens = argmax(st decode, eval mode); val_loss =
+  CE(cls(tokens), 1-src) + CE(LM(tokens), tokens) + mean(mat(tokens, x));
+  best-G checkpoint ``G_epoch_<n>`` with previous-best deletion, early stop
+  patience 3;
+- test mode (``:157-174, 243-255``): newest G_epoch_* (else warmup G), greedy
+  transfer of train+test splits to ``.tsf`` files.
+
+TPU shape: two jitted steps (G-update, D-grads) + one jitted apply for the
+accumulated D update; both rollouts (transfer + back-translation) are scans
+inside one XLA program, so a whole G step is a single device launch.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import Config
+from ..data.pipeline import make_batches
+from ..ops.losses import bce_with_logits, cross_entropy, mse, softmax_cross_entropy_tokens
+from ..parallel.sharding import replicate, shard_batch
+from ..utils.io import RunLogger
+from .common import (
+    build_classifier,
+    build_discriminator,
+    build_generator,
+    build_lm,
+    build_matcher,
+    get_corpus,
+    get_mesh,
+    get_tokenizer,
+    step_rngs,
+)
+from .infer import run_inference
+from .loop import EarlyStopper, Throughput
+from .state import (
+    BestKeeper,
+    TrainState,
+    adam_with_clip,
+    load_params,
+    newest_checkpoint,
+    params_exist,
+)
+
+
+class OptimizeModels:
+    def __init__(self, cfg: Config, n_vocab: int):
+        self.generator = build_generator(cfg, n_vocab)
+        self.classifier = build_classifier(cfg, n_vocab)
+        self.matcher = build_matcher(cfg, n_vocab)
+        self.nt_checker = build_lm(cfg, n_vocab)
+        self.disc = build_discriminator(cfg, n_vocab)
+
+
+def load_frozen(cfg: Config, models: OptimizeModels, key):
+    """Frozen pretrain scorers; required like the reference (missing dumps are
+    an error there too)."""
+    pre = os.path.join(cfg.ds_dump_dir, "pretrain")
+    B0, L0 = 2, cfg.max_len
+    x0 = jnp.zeros((B0, L0), jnp.int32)
+    n0 = jnp.zeros((B0, L0 + L0 // 2), jnp.int32)
+    kc, km, kd = jax.random.split(key, 3)
+    cls = load_params(os.path.join(pre, "cls.msgpack"),
+                      models.classifier.init(kc, x0))
+    mat = load_params(os.path.join(pre, "mat.msgpack"),
+                      models.matcher.init(km, n0, n0))
+    nt = load_params(os.path.join(pre, "dn.msgpack"),
+                     models.nt_checker.init(kd, x0))
+    return {"cls": cls, "mat": mat, "nt": nt}
+
+
+def load_generator_params(cfg: Config, models: OptimizeModels, key):
+    """Train mode: warmup G if present (``main_optimize.py:44-46``); test
+    mode: newest optimize checkpoint, else warmup G (``:47-54``)."""
+    B0 = 2
+    x0 = jnp.zeros((B0, cfg.max_len), jnp.int32)
+    l0 = jnp.zeros((B0,), jnp.int32)
+    template = models.generator.init(key, x0, l0, None, l0, deterministic=True)
+    task_dump = os.path.join(cfg.ds_dump_dir, f"optimize-{cfg.ver}")
+    warm = os.path.join(cfg.ds_dump_dir, "warmup", "G.msgpack")
+    if cfg.mode == "test":
+        newest = newest_checkpoint(task_dump)
+        if newest:
+            return load_params(newest, template)
+        return load_params(warm, template)
+    if params_exist(warm):
+        return load_params(warm, template)
+    return template
+
+
+def make_optimize_steps(cfg: Config, models: OptimizeModels):
+    G, CLS, MAT, NT, D = (models.generator, models.classifier, models.matcher,
+                          models.nt_checker, models.disc)
+    tau, gap = cfg.tau, cfg.gap
+    w_s, w_c, w_adv, w_bt = cfg.w_s, cfg.w_c, cfg.w_adv, cfg.w_bt
+
+    def st_decode(g_params, batch, rngs, deterministic):
+        return G.apply(g_params, batch["x"], batch["labels"], None,
+                       1 - batch["labels"], mode="st", tau=tau,
+                       deterministic=deterministic, rngs=rngs)
+
+    @jax.jit
+    def g_step(g_state: TrainState, d_params, frozen, batch, rngs):
+        def loss_fn(g_params):
+            sample_p = st_decode(g_params, batch, rngs, deterministic=False)
+            s_logits = CLS.apply(frozen["cls"], sample_p, deterministic=False,
+                                 rngs=rngs)
+            c_logits = MAT.apply(frozen["mat"], sample_p, batch["x"],
+                                 deterministic=False, rngs=rngs)
+            adv_logits = D.apply(d_params, sample_p, deterministic=True)
+            bk_logits = G.apply(
+                g_params, jax.lax.stop_gradient(jnp.argmax(sample_p, -1)),
+                1 - batch["labels"], batch["x"], batch["labels"],
+                mode="sched", deterministic=False, rngs=rngs,
+            )
+            s_loss = cross_entropy(s_logits, 1 - batch["labels"])
+            c_loss = mse(c_logits, jnp.full_like(c_logits, gap))
+            adv_loss = bce_with_logits(adv_logits, jnp.ones_like(adv_logits))
+            bk_loss = softmax_cross_entropy_tokens(bk_logits, batch["x"])
+            total = w_bt * bk_loss + w_c * c_loss + w_adv * adv_loss + w_s * s_loss
+            aux = {"G": adv_loss, "STI": s_loss, "CP": jnp.mean(c_logits),
+                   "BK": bk_loss, "loss": total}
+            return total, aux
+
+        (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(g_state.params)
+        return g_state.apply_gradients(grads), aux
+
+    @jax.jit
+    def d_grads(d_params, g_params, batch, rngs):
+        fake_p = jax.lax.stop_gradient(
+            st_decode(g_params, batch, rngs, deterministic=False)
+        )
+
+        def loss_fn(dp):
+            t_logits = D.apply(dp, batch["x"], deterministic=False, rngs=rngs)
+            f_logits = D.apply(dp, fake_p, deterministic=False, rngs=rngs)
+            d_loss = 0.5 * (
+                bce_with_logits(t_logits, jnp.ones_like(t_logits))
+                + bce_with_logits(f_logits, jnp.zeros_like(f_logits))
+            )
+            return w_adv * d_loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(d_params)
+        return grads, loss
+
+    @jax.jit
+    def d_apply(d_state: TrainState, acc_grads):
+        return d_state.apply_gradients(acc_grads)
+
+    @jax.jit
+    def accumulate(acc, grads):
+        return jax.tree.map(jnp.add, acc, grads)
+
+    @jax.jit
+    def val_step(g_params, frozen, batch):
+        sample_p = st_decode(g_params, batch, None, deterministic=True)
+        tokens = jnp.argmax(sample_p, -1)
+        s_logits = CLS.apply(frozen["cls"], tokens, deterministic=True)
+        c_logits = MAT.apply(frozen["mat"], tokens, batch["x"], deterministic=True)
+        nt_logits = NT.apply(frozen["nt"], tokens, deterministic=True)
+        s_loss = cross_entropy(s_logits, 1 - batch["labels"])
+        nt_loss = softmax_cross_entropy_tokens(nt_logits, tokens)
+        return nt_loss + s_loss + jnp.mean(c_logits)
+
+    return g_step, d_grads, d_apply, accumulate, val_step
+
+
+def run_optimize(cfg: Config, progress: bool = True) -> str | None:
+    """Train mode; returns path of the best G checkpoint (None if never
+    improved — reference keeps no checkpoint in that case either)."""
+    tokenizer = get_tokenizer(cfg)
+    mesh = get_mesh(cfg)
+    V = len(tokenizer)
+    models = OptimizeModels(cfg, V)
+    key = jax.random.PRNGKey(cfg.seed)
+    frozen = replicate(load_frozen(cfg, models, key), mesh)
+    g_params = replicate(load_generator_params(cfg, models, key), mesh)
+
+    kd = jax.random.fold_in(key, 99)
+    x0 = jnp.zeros((2, cfg.max_len), jnp.int32)
+    d_params = replicate(models.disc.init(kd, x0), mesh)
+
+    g_state = TrainState.create(g_params, adam_with_clip(cfg.optimize_lr, cfg.optimize_clip))
+    d_state = TrainState.create(d_params, adam_with_clip(cfg.optimize_lr, cfg.optimize_clip))
+
+    task_dump = os.path.join(cfg.ds_dump_dir, f"optimize-{cfg.ver}")
+    os.makedirs(task_dump, exist_ok=True)
+
+    train_corpus = get_corpus(cfg, "train", tokenizer)
+    dev_corpus = get_corpus(cfg, "dev", tokenizer)
+    train_it = make_batches(train_corpus, cfg.batch_size, cfg.max_len, "optimize",
+                            shuffle=True, seed=cfg.seed)
+    dev_it = make_batches(dev_corpus, cfg.batch_size, cfg.max_len, "optimize",
+                          shuffle=False, seed=cfg.seed)
+
+    g_step, d_grads, d_apply, accumulate, val_step = make_optimize_steps(cfg, models)
+    logger = RunLogger(f"{cfg.log_dir}/{cfg.dataset}", "optimize", cfg.ver, config=cfg)
+    stopper = EarlyStopper(cfg.optimize_patience)
+    keeper = BestKeeper("min")
+    thru = Throughput()
+
+    zero_grads = jax.tree.map(jnp.zeros_like, d_state.params)
+    acc = zero_grads
+    step = 0
+    for epoch in range(cfg.epochs):
+        for batch_idx, batch in enumerate(train_it):
+            arrays = shard_batch(batch.arrays, mesh)
+            g_state, aux = g_step(g_state, d_state.params, frozen, arrays,
+                                  step_rngs(key, step))
+            grads, d_loss = d_grads(d_state.params, g_state.params, arrays,
+                                    step_rngs(jax.random.fold_in(key, 1), step))
+            acc = accumulate(acc, grads)
+            if batch_idx % cfg.d_update_every == 0:
+                d_state = d_apply(d_state, acc)
+                acc = zero_grads
+            thru.add(cfg.batch_size)
+            if step % 20 == 0:
+                logger.log(step, D=d_loss, **aux, **thru.rates())
+            step += 1
+
+        # validation + best-G retention (main_optimize.py:127-151)
+        total, weight = 0.0, 0
+        for batch in dev_it:
+            loss = val_step(g_state.params, frozen, shard_batch(batch.arrays, mesh))
+            total += float(loss) * batch.valid
+            weight += batch.valid
+        val_loss = total / max(weight, 1)
+        logger.log(step, val_loss=val_loss, epoch=epoch)
+        if progress:
+            print(f"[optimize] epoch {epoch} val_loss {val_loss:.4f} "
+                  f"{thru.rates()['sentences_per_sec']:.1f} sent/s")
+        keeper.update(val_loss, g_state.params,
+                      os.path.join(task_dump, f"G_epoch_{epoch}.msgpack"),
+                      delete_previous=True)
+        if stopper.update(val_loss):
+            break
+
+    logger.close()
+    return keeper.last_path
+
+
+def run_test(cfg: Config) -> list[str]:
+    """Test mode: transfer train+test splits to .tsf files."""
+    tokenizer = get_tokenizer(cfg)
+    models = OptimizeModels(cfg, len(tokenizer))
+    key = jax.random.PRNGKey(cfg.seed)
+    g_params = load_generator_params(cfg, models, key)
+    return run_inference(cfg, models.generator, g_params, tokenizer)

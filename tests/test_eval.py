@@ -1,0 +1,187 @@
+"""Evaluation harness tests: tokenizer, lexicon, STI/CP/NT metric math, and
+the prepare->eval file contract on a synthetic strongly-styled corpus."""
+
+import os
+
+import numpy as np
+import pytest
+
+from consistent__style_transfer_tpu.evaluate.retokenize import tokenize
+
+
+def test_tokenize_basics():
+    assert tokenize("the food was great !") == ["the", "food", "was", "great", "!"]
+    assert tokenize("i ca n't do it ...") == ["i", "ca", "n't", "do", "it", "..."]
+    assert tokenize("don't stop") == ["don't", "stop"]
+    assert tokenize("red-haired guy!!!") == ["red-haired", "guy", "!!!"]
+    assert tokenize("wow?!") == ["wow", "?", "!"]
+    assert tokenize("call 911 now") == ["call", "911", "now"]
+    assert tokenize("") == []
+
+
+@pytest.fixture(scope="module")
+def styled_corpus(tmp_path_factory):
+    """A corpus where style words are unambiguous, so the lexicon must find
+    them and the classifier must be near-perfect."""
+    rng = np.random.default_rng(0)
+    subjects = ["food", "service", "room", "stay", "pizza", "coffee", "staff",
+                "place", "breakfast", "wine", "music", "patio"]
+    verbs = ["was", "felt", "looked", "seemed", "tasted", "sounded"]
+    fillers = ["really", "quite", "honestly", "very", "truly", "kind of",
+               "a bit", "rather", "somehow", "frankly"]
+    neg_words = ["terrible", "awful", "horrible", "disgusting"]
+    pos_words = ["wonderful", "amazing", "fantastic", "delightful"]
+    root = tmp_path_factory.mktemp("styled")
+    data = root / "data"
+    data.mkdir()
+
+    def filler_dist(label):
+        # weak class tilt: fillers correlate slightly with the label, giving
+        # the L1 LR a bulk of small nonzero weights (like real corpora) from
+        # which the 2-sigma rule must single out the true style words
+        w = np.ones(len(fillers))
+        w[: len(fillers) // 2] += 0.6 if label == 0 else 0.0
+        w[len(fillers) // 2 :] += 0.0 if label == 0 else 0.6
+        return w / w.sum()
+
+    def sentence(words, label):
+        # 12% label noise keeps the problem non-separable (like real text), so
+        # the L1 LR spreads small weights onto the tilted fillers
+        if rng.random() < 0.12:
+            words = pos_words if words is neg_words else neg_words
+        return (f"the {subjects[rng.integers(len(subjects))]} "
+                f"{verbs[rng.integers(len(verbs))]} "
+                f"{fillers[rng.choice(len(fillers), p=filler_dist(label))]} "
+                f"{words[rng.integers(len(words))]} .")
+
+    for split, n in (("train", 300), ("dev", 40), ("test", 20)):
+        for label, words in ((0, neg_words), (1, pos_words)):
+            lines = [sentence(words, label) for _ in range(n)]
+            (data / f"style.{split}.{label}").write_text("\n".join(lines) + "\n")
+    return str(data)
+
+
+def test_fasttext_classifier_learns(styled_corpus, tmp_path):
+    from consistent__style_transfer_tpu.text.fasttext_cls import FastTextClassifier
+
+    labels, texts = [], []
+    for lab in (0, 1):
+        for line in open(f"{styled_corpus}/style.train.{lab}"):
+            labels.append(f"__label__{lab}")
+            texts.append(line.strip())
+    model = FastTextClassifier(epochs=8).fit(texts, labels)
+    (pred, probs) = model.predict("the food was terrible .", k=2)
+    assert pred[0] == "__label__0"
+    assert probs[0] > 0.65  # corpus has 12% label noise, so not near-1.0
+    # save/load roundtrip
+    path = str(tmp_path / "ft.npz")
+    model.save_model(path)
+    m2 = FastTextClassifier.load_model(path)
+    assert m2.predict("service felt amazing .", k=1)[0][0] == "__label__1"
+
+
+def test_sti_math():
+    from consistent__style_transfer_tpu.evaluate.intensity import (
+        direction_corrected_emd,
+    )
+
+    p_in = np.array([0.9, 0.1])
+    toward = np.array([0.2, 0.8])
+    away = np.array([0.95, 0.05])
+    assert direction_corrected_emd(p_in, toward, target=1) == pytest.approx(1.0)
+    assert direction_corrected_emd(p_in, away, target=1) == pytest.approx(-1.0)
+
+
+def test_lexicon_finds_style_words(styled_corpus, tmp_path):
+    from consistent__style_transfer_tpu.evaluate.lexicon import (
+        generate_lexicon,
+        load_lexicon,
+    )
+
+    lex_path = str(tmp_path / "lexicon.json")
+    vec_path = str(tmp_path / "vectorizer.bin")
+    lexicon, _ = generate_lexicon(
+        f"{styled_corpus}/style.train.0", f"{styled_corpus}/style.train.1",
+        lex_path, vec_path,
+    )
+    style_words = {"terrible", "awful", "horrible", "disgusting",
+                   "wonderful", "amazing", "fantastic", "delightful"}
+    # the 2-sigma rule keeps only extreme-weight features: everything selected
+    # must be a true style word, with both polarities represented
+    assert lexicon and lexicon <= style_words
+    assert lexicon & {"terrible", "awful", "horrible", "disgusting"}
+    assert lexicon & {"wonderful", "amazing", "fantastic", "delightful"}
+    assert load_lexicon(lex_path) == lexicon
+
+
+def test_mask_style_words():
+    from consistent__style_transfer_tpu.evaluate.content import mask_style_words
+
+    masked = mask_style_words(["the food was terrible ."], {"terrible"})
+    assert masked == ["the food was MASK ."]
+
+
+def test_naturalness_judgments():
+    from consistent__style_transfer_tpu.evaluate.naturalness import (
+        aggregate_judgments,
+        generate_judgments,
+    )
+
+    j = generate_judgments([0.9, 0.2, 0.5], [0.1, 0.8, 0.5])
+    assert j == [1, 0, None]
+    assert aggregate_judgments(j) == pytest.approx(2 / 3)
+
+
+def test_prepare_and_eval_end_to_end(styled_corpus, tmp_path):
+    """prepare -> eval over an identity 'transfer' (copy of test files) and a
+    perfect oracle transfer; the oracle must get much higher STI."""
+    from consistent__style_transfer_tpu.evaluate.prepare import run_prepare
+    from consistent__style_transfer_tpu.evaluate.run_eval import run_eval
+
+    eval_dir = str(tmp_path / "evalrt")
+    swap = {"terrible": "wonderful", "awful": "amazing", "horrible": "fantastic",
+            "disgusting": "delightful"}
+    swap.update({v: k for k, v in swap.items()})
+    neg_w = {"terrible", "awful", "horrible", "disgusting"}
+
+    def oracle(line):
+        return " ".join(swap.get(t, t) for t in line.split())
+
+    def antioracle(line):
+        # strengthen the CURRENT style: double every style word, pushing the
+        # classifier away from the target style
+        out = []
+        for t in line.split():
+            out.append(t)
+            if t in swap:
+                out.append(t)
+        return " ".join(out)
+
+    results = {}
+    for name, tf in (("identity", lambda s: s), ("oracle", oracle),
+                     ("anti", antioracle)):
+        out_dir = str(tmp_path / f"out-{name}")
+        os.makedirs(out_dir, exist_ok=True)
+        for split in ("train", "test"):
+            for lab in (0, 1):
+                lines = [tf(l.strip()) for l in open(f"{styled_corpus}/style.{split}.{lab}")]
+                with open(f"{out_dir}/style.{split}.{lab}.tsf", "w") as f:
+                    f.write("\n".join(lines) + "\n")
+        run_prepare(styled_corpus, out_dir, eval_dir, "styled", ver=name, quiet=True)
+        results[name] = run_eval(styled_corpus, out_dir, eval_dir, "styled", name, quiet=True)
+
+    # reference STI quirk: ties count toward the target (>=), so the identity
+    # transfer scores exactly +1
+    assert results["identity"]["STI"] == pytest.approx(1.0, abs=1e-6)
+    # corpus has 12% label noise, so the oracle flips ~88% of pairs correctly
+    assert results["oracle"]["STI"] > 0.5
+    assert results["anti"]["STI"] < -0.5
+    assert results["oracle"]["STI"] > results["anti"]["STI"]
+    # oracle only touches lexicon words, which are MASKed for CP -> CP ~ 0;
+    # (tilted fillers may enter the lexicon boundary, so allow slack)
+    assert results["oracle"]["CP"] < 0.05
+    assert results["identity"]["CP"] == pytest.approx(0.0, abs=1e-9)
+    for r in results.values():
+        assert 0.0 <= r["NT"] <= 1.0
+    # identity transfers are indistinguishable from originals -> NT maximal
+    assert results["identity"]["NT"] >= results["anti"]["NT"]
