@@ -1,0 +1,123 @@
+"""North-star benchmark: train + decode sentences/sec/chip on the optimize
+workload at Yelp shapes (V=10000, L=18, B=256).
+
+One iteration = one generator training step (straight-through GAN decode +
+back-translation rollout + scorer losses + Adam update) + one discriminator
+backward + one greedy decode of the batch — exactly the per-batch work of the
+reference's optimize stage + test decode (see benchmarks/torch_cpu_reference.py
+for the CPU baseline of the same workload).
+
+Prints ONE json line:
+  {"metric": ..., "value": N, "unit": "sentences/sec/chip", "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+BASELINE_PATH = os.path.join(os.path.dirname(__file__), "benchmarks", "baseline_cpu.json")
+# measured on this image's host CPU via benchmarks/torch_cpu_reference.py
+# (fallback when the json is absent)
+FALLBACK_BASELINE = 1.97
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from consistent__style_transfer_tpu.config import make_config
+    from consistent__style_transfer_tpu.parallel.mesh import make_mesh
+    from consistent__style_transfer_tpu.parallel.sharding import replicate, shard_batch
+    from consistent__style_transfer_tpu.train.optimize import (
+        OptimizeModels,
+        make_optimize_steps,
+    )
+    from consistent__style_transfer_tpu.train.state import TrainState, adam_with_clip
+
+    V, B = 10000, 256
+    cfg = make_config("yelp")  # max_len=18, batch 256
+    n_dev = len(jax.devices())
+    mesh = make_mesh(n_dev, 1)
+    models = OptimizeModels(cfg, V)
+
+    key = jax.random.PRNGKey(0)
+    L = cfg.max_len
+    x0 = jnp.zeros((2, L), jnp.int32)
+    l0 = jnp.zeros((2,), jnp.int32)
+    n0 = jnp.zeros((2, L + L // 2), jnp.int32)
+    kg, kc, km, kn, kd = jax.random.split(key, 5)
+    g_params = replicate(
+        models.generator.init(kg, x0, l0, None, l0, deterministic=True), mesh)
+    frozen = replicate({
+        "cls": models.classifier.init(kc, x0),
+        "mat": models.matcher.init(km, n0, n0),
+        "nt": models.nt_checker.init(kn, x0),
+    }, mesh)
+    d_params = replicate(models.disc.init(kd, x0), mesh)
+    g_state = TrainState.create(g_params, adam_with_clip(cfg.optimize_lr, cfg.optimize_clip))
+    d_state = TrainState.create(d_params, adam_with_clip(cfg.optimize_lr, cfg.optimize_clip))
+
+    g_step, d_grads, d_apply, _acc, _val = make_optimize_steps(cfg, models)
+
+    import jax.numpy as jnp  # noqa: F811
+
+    @jax.jit
+    def decode(params, x, labels):
+        logits = models.generator.apply(params, x, labels, None, 1 - labels,
+                                        mode="sched", deterministic=True)
+        return jnp.argmax(logits, axis=-1)
+
+    rng = np.random.default_rng(0)
+    batch = shard_batch({
+        "x": rng.integers(0, V, (B, L)).astype(np.int32),
+        "labels": rng.integers(0, 2, (B,)).astype(np.int32),
+    }, mesh)
+    rngs = {"dropout": jax.random.PRNGKey(1), "coin": jax.random.PRNGKey(2)}
+
+    def one_iter(g_state, d_state):
+        g_state, aux = g_step(g_state, d_state.params, frozen, batch, rngs)
+        grads, _ = d_grads(d_state.params, g_state.params, batch, rngs)
+        d_state = d_apply(d_state, grads)
+        toks = decode(g_state.params, batch["x"], batch["labels"])
+        return g_state, d_state, toks
+
+    def force(tree):
+        # On tunneled platforms block_until_ready can return before the work
+        # is done; a host fetch of one element per state is the only honest
+        # completion barrier.
+        for leaf in jax.tree.leaves(tree)[:1]:
+            float(jnp.asarray(leaf).ravel()[0])
+
+    # compile + warm: the first step also changes opt_state layouts (host
+    # init -> device outputs), which triggers one more compile on step 2, so
+    # warm until steady state before timing
+    for _ in range(3):
+        g_state, d_state, toks = one_iter(g_state, d_state)
+    force((g_state.params, d_state.params, toks))
+
+    iters = 20
+    t0 = time.time()
+    for _ in range(iters):
+        g_state, d_state, toks = one_iter(g_state, d_state)
+    force((g_state.params, d_state.params, toks))
+    dt = time.time() - t0
+    value = iters * B / dt / max(n_dev, 1)
+
+    baseline = FALLBACK_BASELINE
+    if os.path.exists(BASELINE_PATH):
+        with open(BASELINE_PATH) as f:
+            baseline = json.load(f)["sentences_per_sec"]
+
+    print(json.dumps({
+        "metric": "Train + decode sentences/sec/chip at parity transfer-acc/BLEU (Yelp)",
+        "value": round(value, 2),
+        "unit": "sentences/sec/chip",
+        "vs_baseline": round(value / baseline, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,174 @@
+"""Single CLI entry replacing the reference's four shell scripts + per-stage
+``__main__`` blocks (``run.sh``, ``prepare.sh``, ``src/job.sh``,
+``src/book.sh``, ``src/vocab.py:50``, ``src/wmd.py:58``):
+
+    python -m consistent__style_transfer_tpu <command> [--flags]
+
+Commands:
+  vocab         train/load the BPE tokenizer dump
+  w2v           train/load the WMD word2vec dump
+  pretrain      stage 1: scoring models
+  warmup        stage 2: generator denoising warmup
+  optimize      stage 3: adversarial style transfer (--mode=test for inference)
+  infer         transfer train+test splits to .tsf with the current best G
+  eval-prepare  train eval models (idempotent)
+  eval          print STI / CP / NT
+  run           full pipeline: optimize train -> test -> eval-prepare -> eval
+                (the reference's run.sh; assumes pretrain+warmup dumps exist,
+                exactly like the reference)
+  ablate        the reference's job.sh sweep: warmup once, then optimize
+                train+test for ver in {full, wo_s, wo_c, wo_adv, wo_bt,
+                wo_allc}, then eval-prepare each
+  bench         run the throughput benchmark (see bench.py)
+"""
+
+from __future__ import annotations
+
+import sys
+
+from .config import Config, config_from_args
+
+
+def _eval_dir(cfg: Config) -> str:
+    return f"{cfg.out_dir}/../evaluate_runtime"
+
+
+def cmd_vocab(cfg: Config) -> None:
+    from .train.common import get_tokenizer
+
+    tok = get_tokenizer(cfg)
+    print(f"vocab size: {len(tok)} -> {cfg.vocab_paths[0]}")
+
+
+def cmd_w2v(cfg: Config) -> None:
+    from .train.common import get_tokenizer, get_w2v
+
+    w2v = get_w2v(cfg, get_tokenizer(cfg))
+    print(f"w2v vocab: {len(w2v.vocab)} -> {cfg.w2v_path}")
+
+
+def cmd_pretrain(cfg: Config) -> None:
+    from .train.pretrain import run_pretrain
+
+    paths = run_pretrain(cfg)
+    print("pretrain artifacts:", paths)
+
+
+def cmd_warmup(cfg: Config) -> None:
+    from .train.warmup import run_warmup
+
+    print("warmup G:", run_warmup(cfg))
+
+
+def cmd_optimize(cfg: Config) -> None:
+    from .train.optimize import run_optimize, run_test
+
+    if cfg.mode == "test":
+        print("wrote:", run_test(cfg))
+    else:
+        print("best G:", run_optimize(cfg))
+
+
+def cmd_infer(cfg: Config) -> None:
+    cfg.mode = "test"
+    cmd_optimize(cfg)
+
+
+def cmd_eval_prepare(cfg: Config) -> None:
+    from .evaluate.prepare import run_prepare
+
+    run_prepare(cfg.ds_data_dir, cfg.run_out_dir, _eval_dir(cfg), cfg.dataset,
+                ver=cfg.ver, seed=cfg.seed)
+
+
+def cmd_eval(cfg: Config) -> None:
+    from .evaluate.run_eval import run_eval
+
+    run_eval(cfg.ds_data_dir, cfg.run_out_dir, _eval_dir(cfg), cfg.dataset, cfg.ver)
+
+
+def cmd_run(cfg: Config) -> None:
+    """run.sh: optimize train -> optimize test -> eval prepare -> eval
+    (``run.sh:9-23``); results also appended to output/<ds>-<ver>.txt."""
+    import contextlib
+    import io
+    import os
+
+    cfg.mode = "train"
+    cmd_optimize(cfg)
+    cfg.mode = "test"
+    cmd_optimize(cfg)
+    cmd_eval_prepare(cfg)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        cmd_eval(cfg)
+    text = buf.getvalue()
+    print(text, end="")
+    os.makedirs(cfg.out_dir, exist_ok=True)
+    with open(f"{cfg.out_dir}/{cfg.dataset}-{cfg.ver}.txt", "w") as f:
+        f.write(text)
+
+
+ABLATIONS = {
+    # reference src/job.sh:9-18
+    "full": {},
+    "wo_s": {"w_s": 0.0},
+    "wo_c": {"w_c": 0.0},
+    "wo_adv": {"w_adv": 0.0},
+    "wo_bt": {"w_bt": 0.0},
+    "wo_allc": {"w_c": 0.0, "w_bt": 0.0},
+}
+
+
+def cmd_ablate(cfg: Config) -> None:
+    import dataclasses
+
+    from .train.warmup import run_warmup
+
+    run_warmup(cfg)
+    for ver, overrides in ABLATIONS.items():
+        sub = dataclasses.replace(cfg, ver=ver, mode="train", **overrides)
+        cmd_optimize(sub)
+        sub.mode = "test"
+        cmd_optimize(sub)
+        cmd_eval_prepare(sub)
+        cmd_eval(sub)
+
+
+def cmd_bench(cfg: Config) -> None:
+    import runpy
+
+    sys.argv = ["bench.py"]
+    runpy.run_path("bench.py", run_name="__main__")
+
+
+COMMANDS = {
+    "vocab": cmd_vocab,
+    "w2v": cmd_w2v,
+    "pretrain": cmd_pretrain,
+    "warmup": cmd_warmup,
+    "optimize": cmd_optimize,
+    "infer": cmd_infer,
+    "eval-prepare": cmd_eval_prepare,
+    "eval": cmd_eval,
+    "run": cmd_run,
+    "ablate": cmd_ablate,
+    "bench": cmd_bench,
+}
+
+
+def main(argv=None) -> None:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv or argv[0] in ("-h", "--help"):
+        print(__doc__)
+        return
+    command = argv[0]
+    if command not in COMMANDS:
+        print(f"unknown command {command!r}; one of {sorted(COMMANDS)}")
+        raise SystemExit(2)
+    cfg = config_from_args(argv[1:])
+    COMMANDS[command](cfg)
+
+
+if __name__ == "__main__":
+    main()
