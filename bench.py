@@ -66,9 +66,8 @@ def main() -> None:
 
     @jax.jit
     def decode(params, x, labels):
-        logits = models.generator.apply(params, x, labels, None, 1 - labels,
-                                        mode="sched", deterministic=True)
-        return jnp.argmax(logits, axis=-1)
+        return models.generator.apply(params, x, labels, None, 1 - labels,
+                                      mode="greedy", deterministic=True)
 
     rng = np.random.default_rng(0)
     batch = shard_batch({

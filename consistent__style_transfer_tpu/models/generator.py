@@ -93,7 +93,7 @@ class _DecoderStep(nn.Module):
     RNGs. Carry holds (h, c, x_t, memory); xs holds (teacher_embed_t, coin_t)."""
 
     n_vocab: int
-    mode: str  # "st" | "sched"
+    mode: str  # "st" | "sched" | "greedy"
     tau: float
     p_drop: float
     deterministic: bool
@@ -124,6 +124,12 @@ class _DecoderStep(nn.Module):
             probs_t = nn.softmax(logits_t / self.tau, axis=-1)
             x_next = hard_sample_st(probs_t) @ emb_table
             out_t = probs_t
+        elif self.mode == "greedy":
+            # inference fast path: the scan emits only token ids, so no
+            # (L, B, V) logits stack ever reaches HBM
+            ids_t = jnp.argmax(logits_t, axis=-1).astype(jnp.int32)
+            x_next = jnp.take(emb_table, ids_t, axis=0)
+            out_t = ids_t
         else:
             greedy = jnp.take(emb_table, jnp.argmax(logits_t, axis=-1), axis=0)
             x_next = jnp.where(coin, teacher_emb, greedy)
@@ -151,10 +157,11 @@ class DenoiseSeq2Seq(nn.Module):
         tau: float = 1.0,
         deterministic: bool = False,
     ) -> jnp.ndarray:
-        """Returns (B, L_out, V): probs when mode="st", logits otherwise.
-        L_out = x.shape[1] when a teacher x is given, else self.max_len
-        (reference ``rnn.py:65``)."""
-        assert mode in ("st", "sched")
+        """Returns (B, L_out, V): probs when mode="st", logits when "sched";
+        mode="greedy" returns token ids (B, L_out) directly (inference fast
+        path — no logits stack). L_out = x.shape[1] when a teacher x is
+        given, else self.max_len (reference ``rnn.py:65``)."""
+        assert mode in ("st", "sched", "greedy")
         token_embedding = nn.Embed(self.n_vocab, D_EMBED,
                                    embedding_init=embedding_init,
                                    dtype=self.dtype, name="token_embedding")
@@ -230,14 +237,13 @@ class DenoiseSeq2Seq(nn.Module):
         )
         carry0 = (h0, c0, x0, memory, emb_table)
         _, outs = step(carry0, (teacher, coins))
-        return jnp.swapaxes(outs, 0, 1)  # (B, L_out, V)
+        return jnp.swapaxes(outs, 0, 1)  # (B, L_out, V) or (B, L_out) ids
 
 
 def greedy_transfer(model: DenoiseSeq2Seq, params, x, labels, rngs=None):
     """Inference helper: transfer x to the opposite style with greedy decode
     (reference test path, ``src/main_optimize.py:157-164``)."""
-    logits = model.apply(
-        params, x, labels, None, 1 - labels, mode="sched", deterministic=True,
+    return model.apply(
+        params, x, labels, None, 1 - labels, mode="greedy", deterministic=True,
         rngs=rngs,
     )
-    return jnp.argmax(logits, axis=-1)

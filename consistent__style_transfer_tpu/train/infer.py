@@ -27,9 +27,10 @@ from .common import get_corpus, get_mesh
 def make_transfer_step(model):
     @jax.jit
     def step(params, x, labels):
-        logits = model.apply(params, x, labels, None, 1 - labels,
-                             mode="sched", deterministic=True)
-        return jnp.argmax(logits, axis=-1)
+        # mode="greedy": the scan emits token ids directly — no (L, B, V)
+        # logits stack in HBM (the decode-path bandwidth win)
+        return model.apply(params, x, labels, None, 1 - labels,
+                           mode="greedy", deterministic=True)
 
     return step
 

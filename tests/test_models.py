@@ -90,6 +90,19 @@ def test_generator_greedy_shapes(hard_batch, keys):
     assert logits.shape == (B, L, V)
 
 
+def test_generator_greedy_ids_match_sched_argmax(hard_batch, keys):
+    """The ids-emitting fast path must agree with argmax over the logits path."""
+    x, labels = hard_batch
+    model = DenoiseSeq2Seq(n_vocab=V, n_class=NC, max_len=L)
+    params = model.init(keys[7], x, labels, None, labels, deterministic=True)
+    logits = model.apply(params, x, labels, None, 1 - labels, mode="sched",
+                         deterministic=True)
+    ids = model.apply(params, x, labels, None, 1 - labels, mode="greedy",
+                      deterministic=True)
+    assert ids.shape == (B, L)
+    np.testing.assert_array_equal(np.asarray(ids), np.asarray(jnp.argmax(logits, -1)))
+
+
 def test_generator_teacher_forced_shapes(hard_batch, keys):
     x, labels = hard_batch
     model = DenoiseSeq2Seq(n_vocab=V, n_class=NC, max_len=L)
