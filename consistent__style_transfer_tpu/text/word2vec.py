@@ -207,11 +207,13 @@ class Word2Vec:
 
 
 def train_token_w2v(
-    files: Iterable[str], tokenizer, epochs: int = 10, seed: int = 1, **kw
+    files: Iterable[str], tokenizer, epochs: int = 10, seed: int = 1,
+    prefer_native: bool = True, **kw
 ) -> Word2Vec:
     """Train word2vec over BPE-token streams of the train corpora — the
     reference's WMD labeler setup (``src/wmd.py:14-19``: shuffled corpus,
-    10 epochs, gensim defaults otherwise)."""
+    10 epochs, gensim defaults otherwise). Uses the hogwild C++ trainer when
+    built (same CBOW/NS scheme, multithreaded)."""
     corpus: list[str] = []
     for path in files:
         with open(path, "r", encoding="utf-8") as f:
@@ -219,4 +221,34 @@ def train_token_w2v(
     rng = np.random.default_rng(seed)
     rng.shuffle(corpus)
     sentences = [tokenizer.ids_to_tokens(tokenizer.encode(s)) for s in corpus]
+    if prefer_native:
+        try:
+            from . import native as nat
+
+            if nat.available() or nat.build():
+                return _native_w2v(sentences, epochs=epochs, seed=seed, **kw)
+        except Exception:
+            pass
     return Word2Vec(sentences, epochs=epochs, seed=seed, **kw)
+
+
+def _native_w2v(sentences, epochs: int, seed: int, dim: int = 100,
+                window: int = 5, min_count: int = 5, negative: int = 5,
+                sample: float = 1e-3, **_kw) -> Word2Vec:
+    from . import native as nat
+
+    w2v = Word2Vec(None, dim=dim, window=window, min_count=min_count,
+                   negative=negative, epochs=epochs, sample=sample, seed=seed)
+    w2v._build_vocab(sentences)
+    encoded = [
+        [w2v.vocab[t] for t in sent if t in w2v.vocab] for sent in sentences
+    ]
+    encoded = [e for e in encoded if e]
+    if not w2v.vocab:
+        w2v.vectors = np.zeros((0, dim), np.float32)
+        return w2v
+    w2v.vectors = nat.native_w2v_train(
+        encoded, vocab_size=len(w2v.vocab), dim=dim, window=window,
+        negative=negative, epochs=epochs, sample=sample, seed=seed,
+    )
+    return w2v

@@ -26,14 +26,26 @@ def compute_dtype(cfg: Config):
     return jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
 
 
-def get_tokenizer(cfg: Config) -> BPETokenizer:
+def get_tokenizer(cfg: Config, prefer_native: bool = True):
     """Load the dataset tokenizer, training it first if the dump is missing
-    (reference ``src/vocab.py:50-65`` CLI behavior)."""
+    (reference ``src/vocab.py:50-65`` CLI behavior). When the C++ runtime is
+    built (``make -C native``), encode/decode run through it (same tables,
+    verified equivalent in tests/test_native.py)."""
+    from ..text import native as nat
+
+    native_ok = prefer_native and (nat.available() or nat.build())
     vocab_path, merges_path = cfg.vocab_paths
     if not (os.path.exists(vocab_path) and os.path.exists(merges_path)):
-        tok = BPETokenizer.train(cfg.train_files(), cfg.vocab_size)
+        if native_ok:
+            vocab, merges = nat.native_bpe_train(cfg.train_files(), cfg.vocab_size)
+            tok = BPETokenizer(vocab, merges)
+        else:
+            tok = BPETokenizer.train(cfg.train_files(), cfg.vocab_size)
         tok.save(cfg.ds_dump_dir, cfg.dataset)
-    return BPETokenizer.load(vocab_path, merges_path)
+    tok = BPETokenizer.load(vocab_path, merges_path)
+    if native_ok:
+        return nat.NativeBPE.from_python(tok)
+    return tok
 
 
 def get_w2v(cfg: Config, tokenizer) -> Word2Vec:
