@@ -68,6 +68,7 @@ class Config:
     optimize_clip: float = 1.0
 
     # TPU-native knobs (no reference equivalent)
+    resume: bool = False  # restore full optimize train state (orbax) if present
     seed: int = 0
     dtype: str = "float32"  # compute dtype: float32 | bfloat16
     mesh: MeshConfig = field(default_factory=MeshConfig)

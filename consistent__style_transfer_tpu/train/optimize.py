@@ -221,10 +221,34 @@ def run_optimize(cfg: Config, progress: bool = True) -> str | None:
     keeper = BestKeeper("min")
     thru = Throughput()
 
+    # full-state resume (params + both Adam states + epoch + best-val) — a
+    # capability the reference lacks (its --restore_version only re-attaches
+    # the logger, src/arguments.py:35)
+    ckpt = None
+    start_epoch = 0
+    if cfg.resume:
+        from .checkpoint import StateCheckpointer
+
+        ckpt = StateCheckpointer(os.path.join(task_dump, "full_state"))
+        template = {
+            "g_params": g_state.params, "g_opt": g_state.opt_state,
+            "d_params": d_state.params, "d_opt": d_state.opt_state,
+            "epoch": 0, "best": float("inf"),
+        }
+        restored = ckpt.restore(template)
+        if restored is not None:
+            g_state = g_state.replace(params=restored["g_params"],
+                                      opt_state=restored["g_opt"])
+            d_state = d_state.replace(params=restored["d_params"],
+                                      opt_state=restored["d_opt"])
+            start_epoch = int(restored["epoch"]) + 1
+            keeper.best = float(restored["best"])
+            stopper.best = keeper.best
+
     zero_grads = jax.tree.map(jnp.zeros_like, d_state.params)
     acc = zero_grads
     step = 0
-    for epoch in range(cfg.epochs):
+    for epoch in range(start_epoch, cfg.epochs):
         for batch_idx, batch in enumerate(train_it):
             arrays = shard_batch(batch.arrays, mesh)
             g_state, aux = g_step(g_state, d_state.params, frozen, arrays,
@@ -254,9 +278,17 @@ def run_optimize(cfg: Config, progress: bool = True) -> str | None:
         keeper.update(val_loss, g_state.params,
                       os.path.join(task_dump, f"G_epoch_{epoch}.msgpack"),
                       delete_previous=True)
+        if ckpt is not None:
+            ckpt.save(epoch, {
+                "g_params": g_state.params, "g_opt": g_state.opt_state,
+                "d_params": d_state.params, "d_opt": d_state.opt_state,
+                "epoch": epoch, "best": keeper.best,
+            })
         if stopper.update(val_loss):
             break
 
+    if ckpt is not None:
+        ckpt.close()
     logger.close()
     return keeper.last_path
 
