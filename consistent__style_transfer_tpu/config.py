@@ -68,6 +68,7 @@ class Config:
     optimize_clip: float = 1.0
 
     # TPU-native knobs (no reference equivalent)
+    backbone: str = "lstm"  # generator family: lstm (reference parity) | transformer (T5-small-like)
     resume: bool = False  # restore full optimize train state (orbax) if present
     seed: int = 0
     dtype: str = "float32"  # compute dtype: float32 | bfloat16

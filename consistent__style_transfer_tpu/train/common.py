@@ -67,11 +67,35 @@ def get_mesh(cfg: Config):
     return make_mesh(cfg.mesh.n_data, cfg.mesh.n_model)
 
 
-def build_generator(cfg: Config, n_vocab: int) -> DenoiseSeq2Seq:
-    return DenoiseSeq2Seq(
-        n_vocab=n_vocab, n_class=cfg.n_class, max_len=cfg.max_len,
-        p_drop=cfg.p_drop, dtype=compute_dtype(cfg), remat=cfg.remat_decode,
-    )
+def build_generator(cfg: Config, n_vocab: int):
+    kw = dict(n_vocab=n_vocab, n_class=cfg.n_class, max_len=cfg.max_len,
+              p_drop=cfg.p_drop, dtype=compute_dtype(cfg), remat=cfg.remat_decode)
+    if cfg.backbone == "transformer":
+        from ..models.seq2seq_transformer import TransformerSeq2Seq
+
+        return TransformerSeq2Seq(**kw)
+    assert cfg.backbone == "lstm", cfg.backbone
+    return DenoiseSeq2Seq(**kw)
+
+
+def generator_call(model, params, inp, label_i, x, label, mode="sched",
+                   tau=1.0, deterministic=True, rngs=None):
+    """Backbone-agnostic generator invocation with the reference call
+    semantics (inp, input-style, teacher x, output-style, decode mode). The
+    LSTM backbone handles every mode inside one apply; the transformer
+    backbone's autoregressive modes run the KV-cached lax.scan driver."""
+    from ..models.seq2seq_transformer import TransformerSeq2Seq, generate
+
+    if isinstance(model, TransformerSeq2Seq):
+        if mode == "sched" and x is not None:
+            return model.apply(params, inp, label_i, x, label, mode="sched",
+                               deterministic=deterministic, rngs=rngs)
+        L_out = None if x is None else x.shape[1]
+        return generate(model, params, inp, label_i, label, mode=mode,
+                        tau=tau, rngs=rngs, deterministic=deterministic,
+                        L_out=L_out)
+    return model.apply(params, inp, label_i, x, label, mode=mode, tau=tau,
+                       deterministic=deterministic, rngs=rngs)
 
 
 def build_classifier(cfg: Config, n_vocab: int) -> TextCNN:

@@ -25,12 +25,14 @@ from .common import get_corpus, get_mesh
 
 
 def make_transfer_step(model):
+    from .common import generator_call
+
     @jax.jit
     def step(params, x, labels):
         # mode="greedy": the scan emits token ids directly — no (L, B, V)
         # logits stack in HBM (the decode-path bandwidth win)
-        return model.apply(params, x, labels, None, 1 - labels,
-                           mode="greedy", deterministic=True)
+        return generator_call(model, params, x, labels, None, 1 - labels,
+                              mode="greedy", deterministic=True)
 
     return step
 

@@ -116,10 +116,12 @@ def make_optimize_steps(cfg: Config, models: OptimizeModels):
     tau, gap = cfg.tau, cfg.gap
     w_s, w_c, w_adv, w_bt = cfg.w_s, cfg.w_c, cfg.w_adv, cfg.w_bt
 
+    from .common import generator_call
+
     def st_decode(g_params, batch, rngs, deterministic):
-        return G.apply(g_params, batch["x"], batch["labels"], None,
-                       1 - batch["labels"], mode="st", tau=tau,
-                       deterministic=deterministic, rngs=rngs)
+        return generator_call(G, g_params, batch["x"], batch["labels"], None,
+                              1 - batch["labels"], mode="st", tau=tau,
+                              deterministic=deterministic, rngs=rngs)
 
     @jax.jit
     def g_step(g_state: TrainState, d_params, frozen, batch, rngs):
@@ -130,8 +132,8 @@ def make_optimize_steps(cfg: Config, models: OptimizeModels):
             c_logits = MAT.apply(frozen["mat"], sample_p, batch["x"],
                                  deterministic=False, rngs=rngs)
             adv_logits = D.apply(d_params, sample_p, deterministic=True)
-            bk_logits = G.apply(
-                g_params, jax.lax.stop_gradient(jnp.argmax(sample_p, -1)),
+            bk_logits = generator_call(
+                G, g_params, jax.lax.stop_gradient(jnp.argmax(sample_p, -1)),
                 1 - batch["labels"], batch["x"], batch["labels"],
                 mode="sched", deterministic=False, rngs=rngs,
             )

@@ -26,12 +26,14 @@ from .state import BestKeeper, TrainState, adam_with_clip, save_params
 
 
 def make_warmup_steps(model):
+    from .common import generator_call
+
     @jax.jit
     def train_step(state: TrainState, batch, rngs):
         def loss_fn(params):
-            logits = model.apply(
-                params, batch["nx"], batch["labels"], batch["x"], batch["labels"],
-                mode="sched", deterministic=False, rngs=rngs,
+            logits = generator_call(
+                model, params, batch["nx"], batch["labels"], batch["x"],
+                batch["labels"], mode="sched", deterministic=False, rngs=rngs,
             )
             return softmax_cross_entropy_tokens(logits, batch["x"])
 
@@ -40,9 +42,9 @@ def make_warmup_steps(model):
 
     @jax.jit
     def eval_step(params, batch, rngs):
-        logits = model.apply(
-            params, batch["nx"], batch["labels"], batch["x"], batch["labels"],
-            mode="sched", deterministic=True, rngs=rngs,
+        logits = generator_call(
+            model, params, batch["nx"], batch["labels"], batch["x"],
+            batch["labels"], mode="sched", deterministic=True, rngs=rngs,
         )
         return softmax_cross_entropy_tokens(logits, batch["x"])
 
