@@ -69,6 +69,7 @@ class Config:
 
     # TPU-native knobs (no reference equivalent)
     backbone: str = "lstm"  # generator family: lstm (reference parity) | transformer (T5-small-like)
+    beam_size: int = 1  # >1 enables beam decode at inference (transformer backbone)
     resume: bool = False  # restore full optimize train state (orbax) if present
     seed: int = 0
     dtype: str = "float32"  # compute dtype: float32 | bfloat16

@@ -24,8 +24,22 @@ from ..parallel.sharding import shard_batch
 from .common import get_corpus, get_mesh
 
 
-def make_transfer_step(model):
+def make_transfer_step(model, beam_size: int = 1):
     from .common import generator_call
+
+    if beam_size > 1:
+        from ..models.seq2seq_transformer import TransformerSeq2Seq, beam_decode
+
+        assert isinstance(model, TransformerSeq2Seq), \
+            "beam decode requires the transformer backbone"
+
+        @jax.jit
+        def step(params, x, labels):
+            ids, _scores = beam_decode(model, params, x, labels, 1 - labels,
+                                       beam_size=beam_size)
+            return ids
+
+        return step
 
     @jax.jit
     def step(params, x, labels):
@@ -42,7 +56,7 @@ def transfer_split(cfg: Config, model, params, tokenizer, split: str,
     """Greedy-transfer one split; returns {source_label: [decoded lines]} in
     corpus order."""
     mesh = mesh or get_mesh(cfg)
-    step_fn = step_fn or make_transfer_step(model)
+    step_fn = step_fn or make_transfer_step(model, cfg.beam_size)
     corpus = get_corpus(cfg, split, tokenizer)
     it = make_batches(corpus, cfg.batch_size, cfg.max_len, "optimize",
                       shuffle=False, seed=cfg.seed)
@@ -71,7 +85,7 @@ def write_tsf(cfg: Config, split: str, routed: dict[int, list[str]]) -> list[str
 def run_inference(cfg: Config, model, params, tokenizer,
                   splits=("train", "test")) -> list[str]:
     mesh = get_mesh(cfg)
-    step_fn = make_transfer_step(model)
+    step_fn = make_transfer_step(model, cfg.beam_size)
     out_paths: list[str] = []
     for split in splits:
         routed = transfer_split(cfg, model, params, tokenizer, split,
