@@ -39,7 +39,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.sampling import hard_sample_st
-from .initializers import embedding_init, linear_kernel_init, lstm_init
+from .initializers import embedding_init, linear_bias_init, linear_kernel_init, lstm_init
 from .transformer import embed_or_project
 
 D_EMBED = 128
@@ -88,9 +88,36 @@ class _EncoderScan(nn.Module):
         return ys, (h, c)
 
 
+class _Affine(nn.Module):
+    """Dense with externally readable weights — same param layout as nn.Dense
+    (kernel[, bias]) so checkpoints are interchangeable, but the raw arrays
+    are accessible for fused Pallas heads."""
+
+    features: int
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def weights(self, d_in: int):
+        k = self.param("kernel", linear_kernel_init, (d_in, self.features))
+        if not self.use_bias:
+            return k.astype(self.dtype), None
+        b = self.param("bias", linear_bias_init(d_in), (self.features,))
+        return k.astype(self.dtype), b.astype(self.dtype)
+
+    def __call__(self, x):
+        k, b = self.weights(x.shape[-1])
+        y = x @ k
+        return y if b is None else y + b
+
+
 class _DecoderStep(nn.Module):
     """One decode step; scanned over time by `nn.scan` with per-step dropout
-    RNGs. Carry holds (h, c, x_t, memory); xs holds (teacher_embed_t, coin_t)."""
+    RNGs. Carry holds (h, c, x_t, memory); xs holds (teacher_embed_t, coin_t).
+
+    With ``use_pallas`` (greedy mode, TPU), the FFN -> vocab-projection ->
+    argmax head runs as the fused vocab-tiled Pallas kernel
+    (kernels/decode_step.py) instead of materializing (B, V) logits."""
 
     n_vocab: int
     mode: str  # "st" | "sched" | "greedy"
@@ -98,6 +125,8 @@ class _DecoderStep(nn.Module):
     p_drop: float
     deterministic: bool
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
+    pallas_interpret: bool = False
 
     @nn.compact
     def __call__(self, carry, xs):
@@ -114,11 +143,21 @@ class _DecoderStep(nn.Module):
 
         i_ffn = jnp.concatenate([o_t, a_t], axis=-1)
         i_ffn = nn.Dropout(self.p_drop)(i_ffn, deterministic=self.deterministic)
-        o_f1 = nn.Dense(D_DEC, kernel_init=linear_kernel_init,
-                        dtype=self.dtype, name="fn_1")(i_ffn)
-        logits_t = nn.Dense(self.n_vocab, use_bias=False,
-                            kernel_init=linear_kernel_init, dtype=self.dtype,
-                            name="fn_2")(nn.leaky_relu(o_f1, 0.1))
+        fn_1 = _Affine(D_DEC, dtype=self.dtype, name="fn_1")
+        fn_2 = _Affine(self.n_vocab, use_bias=False, dtype=self.dtype, name="fn_2")
+
+        if self.mode == "greedy" and self.use_pallas:
+            from ..kernels.decode_step import fused_decode_logits
+
+            w1, b1 = fn_1.weights(i_ffn.shape[-1])
+            w2, _ = fn_2.weights(D_DEC)
+            ids_t, _h = fused_decode_logits(i_ffn, w1, b1, w2,
+                                            interpret=self.pallas_interpret)
+            x_next = jnp.take(emb_table, ids_t, axis=0)
+            x_next = nn.Dropout(self.p_drop)(x_next, deterministic=self.deterministic)
+            return (h, c, x_next, memory, emb_table), ids_t
+
+        logits_t = fn_2(nn.leaky_relu(fn_1(i_ffn), 0.1))
 
         if self.mode == "st":
             probs_t = nn.softmax(logits_t / self.tau, axis=-1)
@@ -145,6 +184,8 @@ class DenoiseSeq2Seq(nn.Module):
     p_drop: float = P_DROP
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
+    use_pallas: bool = False        # fused decode head in greedy mode (TPU)
+    pallas_interpret: bool = False  # interpret-mode kernels (CPU tests)
 
     @nn.compact
     def __call__(
@@ -233,6 +274,8 @@ class DenoiseSeq2Seq(nn.Module):
             p_drop=self.p_drop,
             deterministic=deterministic,
             dtype=self.dtype,
+            use_pallas=self.use_pallas,
+            pallas_interpret=self.pallas_interpret,
             name="decoder",
         )
         carry0 = (h0, c0, x0, memory, emb_table)

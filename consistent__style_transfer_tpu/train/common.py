@@ -75,7 +75,8 @@ def build_generator(cfg: Config, n_vocab: int):
 
         return TransformerSeq2Seq(**kw)
     assert cfg.backbone == "lstm", cfg.backbone
-    return DenoiseSeq2Seq(**kw)
+    use_pallas = cfg.use_pallas and jax.default_backend() not in ("cpu",)
+    return DenoiseSeq2Seq(use_pallas=use_pallas, **kw)
 
 
 def generator_call(model, params, inp, label_i, x, label, mode="sched",

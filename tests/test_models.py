@@ -103,6 +103,21 @@ def test_generator_greedy_ids_match_sched_argmax(hard_batch, keys):
     np.testing.assert_array_equal(np.asarray(ids), np.asarray(jnp.argmax(logits, -1)))
 
 
+def test_generator_pallas_head_matches(hard_batch, keys):
+    """Greedy decode with the fused Pallas head (interpret mode) equals the
+    plain jnp path, using the same checkpoint layout."""
+    x, labels = hard_batch
+    plain = DenoiseSeq2Seq(n_vocab=V, n_class=NC, max_len=L)
+    fused = DenoiseSeq2Seq(n_vocab=V, n_class=NC, max_len=L,
+                           use_pallas=True, pallas_interpret=True)
+    params = plain.init(keys[7], x, labels, None, labels, deterministic=True)
+    ids_plain = plain.apply(params, x, labels, None, 1 - labels,
+                            mode="greedy", deterministic=True)
+    ids_fused = fused.apply(params, x, labels, None, 1 - labels,
+                            mode="greedy", deterministic=True)
+    np.testing.assert_array_equal(np.asarray(ids_plain), np.asarray(ids_fused))
+
+
 def test_generator_teacher_forced_shapes(hard_batch, keys):
     x, labels = hard_batch
     model = DenoiseSeq2Seq(n_vocab=V, n_class=NC, max_len=L)
