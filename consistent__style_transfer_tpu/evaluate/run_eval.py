@@ -12,6 +12,7 @@
 from __future__ import annotations
 
 import math
+import os
 
 from ..text.fasttext_cls import FastTextClassifier
 from ..utils.io import read_lines
@@ -66,4 +67,26 @@ def run_eval(data_dir: str, out_dir: str, eval_dir: str, dataset: str, ver: str,
     nt = aggregate_judgments(judgments)
     say("NT (higher is better): %.4f" % nt)
 
-    return {"STI": sti, "CP": cp, "NT": nt}
+    results = {"STI": sti, "CP": cp, "NT": nt}
+
+    # North-star extras the reference never reported: transfer accuracy
+    # (eval-classifier agreement with the target style), self-BLEU (content
+    # retention vs source), and reference-BLEU when human references exist.
+    from .bleu import corpus_bleu, self_bleu
+
+    hits = 0
+    for text, tgt in zip(transfer, labels):
+        pred, _ = sti_model.predict(text, k=1)
+        hits += int(pred[0] == f"__label__{tgt}")
+    results["ACC"] = hits / max(len(transfer), 1)
+    say("ACC (transfer accuracy): %.4f" % results["ACC"])
+    results["selfBLEU"] = self_bleu(transfer, origin)
+    say("self-BLEU: %.2f" % results["selfBLEU"])
+    ref0, ref1 = f"{data_dir}/reference.0", f"{data_dir}/reference.1"
+    if os.path.exists(ref0) and os.path.exists(ref1):
+        refs = read_lines(ref0) + read_lines(ref1)
+        if len(refs) == len(transfer):
+            results["refBLEU"] = corpus_bleu(transfer, refs)
+            say("ref-BLEU: %.2f" % results["refBLEU"])
+
+    return results
