@@ -163,6 +163,15 @@ class _DecoderStep(nn.Module):
             probs_t = nn.softmax(logits_t / self.tau, axis=-1)
             x_next = hard_sample_st(probs_t) @ emb_table
             out_t = probs_t
+        elif self.mode == "gumbel":
+            # the reference's commented-out gumbel variant (rnn.py:86-89),
+            # used by its early "gumbel + mle" experiment (exp_log.md):
+            # gumbel-softmax relaxation, straight-through feedback
+            g = jax.random.gumbel(self.make_rng("gumbel"), logits_t.shape,
+                                  logits_t.dtype)
+            probs_t = nn.softmax((logits_t + g) / self.tau, axis=-1)
+            x_next = hard_sample_st(probs_t) @ emb_table
+            out_t = probs_t
         elif self.mode == "greedy":
             # inference fast path: the scan emits only token ids, so no
             # (L, B, V) logits stack ever reaches HBM
@@ -200,9 +209,11 @@ class DenoiseSeq2Seq(nn.Module):
     ) -> jnp.ndarray:
         """Returns (B, L_out, V): probs when mode="st", logits when "sched";
         mode="greedy" returns token ids (B, L_out) directly (inference fast
-        path — no logits stack). L_out = x.shape[1] when a teacher x is
-        given, else self.max_len (reference ``rnn.py:65``)."""
-        assert mode in ("st", "sched", "greedy")
+        path — no logits stack); mode="gumbel" is the reference's commented
+        gumbel-softmax variant (probs out, needs a "gumbel" rng). L_out =
+        x.shape[1] when a teacher x is given, else self.max_len (reference
+        ``rnn.py:65``)."""
+        assert mode in ("st", "sched", "greedy", "gumbel")
         token_embedding = nn.Embed(self.n_vocab, D_EMBED,
                                    embedding_init=embedding_init,
                                    dtype=self.dtype, name="token_embedding")
@@ -263,7 +274,7 @@ class DenoiseSeq2Seq(nn.Module):
         scan = nn.scan(
             step_cls,
             variable_broadcast="params",
-            split_rngs={"dropout": True, "params": False},
+            split_rngs={"dropout": True, "gumbel": True, "params": False},
             in_axes=0,
             out_axes=0,
         )

@@ -39,6 +39,7 @@ import optax
 
 from ..config import Config
 from ..data.pipeline import make_batches
+from ..data.prefetch import DevicePrefetcher
 from ..ops.losses import bce_with_logits, cross_entropy, mse, softmax_cross_entropy_tokens
 from ..parallel.sharding import replicate, shard_batch
 from ..utils.io import RunLogger
@@ -251,8 +252,7 @@ def run_optimize(cfg: Config, progress: bool = True) -> str | None:
     acc = zero_grads
     step = 0
     for epoch in range(start_epoch, cfg.epochs):
-        for batch_idx, batch in enumerate(train_it):
-            arrays = shard_batch(batch.arrays, mesh)
+        for batch_idx, (batch, arrays) in enumerate(DevicePrefetcher(train_it, mesh)):
             g_state, aux = g_step(g_state, d_state.params, frozen, arrays,
                                   step_rngs(key, step))
             grads, d_loss = d_grads(d_state.params, g_state.params, arrays,

@@ -29,6 +29,7 @@ import jax.numpy as jnp
 
 from ..config import Config
 from ..data.pipeline import make_batches
+from ..data.prefetch import DevicePrefetcher
 from ..data.wmd_labels import ExactWmdLabeler, SinkhornWmdLabeler
 from ..ops.losses import cross_entropy, mse, softmax_cross_entropy_tokens
 from ..parallel.sharding import replicate, shard_batch
@@ -138,8 +139,8 @@ def run_pretrain(cfg: Config, progress: bool = True) -> dict[str, str]:
         ftuple = tuple(flags[t] for t in TASKS)
         if not any(ftuple):
             break
-        for batch in train_it:
-            state, parts = train_step(state, shard_batch(batch.arrays, mesh),
+        for batch, arrays in DevicePrefetcher(train_it, mesh):
+            state, parts = train_step(state, arrays,
                                       step_rngs(key, step, ("dropout",)), ftuple)
             thru.add(cfg.batch_size)
             if step % 50 == 0:

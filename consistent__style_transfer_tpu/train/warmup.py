@@ -17,6 +17,7 @@ import jax.numpy as jnp
 
 from ..config import Config
 from ..data.pipeline import make_batches
+from ..data.prefetch import DevicePrefetcher
 from ..ops.losses import softmax_cross_entropy_tokens
 from ..parallel.sharding import replicate, shard_batch
 from ..utils.io import RunLogger
@@ -83,9 +84,8 @@ def run_warmup(cfg: Config, progress: bool = True) -> str:
 
     step = 0
     for epoch in range(cfg.warmup_epochs):
-        for batch in train_it:
-            state, loss = train_step(state, shard_batch(batch.arrays, mesh),
-                                     step_rngs(key, step))
+        for batch, arrays in DevicePrefetcher(train_it, mesh):
+            state, loss = train_step(state, arrays, step_rngs(key, step))
             thru.add(bs)
             if step % 50 == 0:
                 logger.log(step, dn_loss=loss, **thru.rates())

@@ -152,6 +152,22 @@ def test_generator_st_probs_and_gradient(hard_batch, keys):
     assert float(jnp.abs(emb_grad).sum()) > 0, "no gradient into embeddings (feedback path)"
 
 
+def test_generator_gumbel_mode(hard_batch, keys):
+    x, labels = hard_batch
+    model = DenoiseSeq2Seq(n_vocab=V, n_class=NC, max_len=L)
+    params = model.init(keys[7], x, labels, None, labels, deterministic=True)
+    probs = model.apply(params, x, labels, None, 1 - labels, mode="gumbel",
+                        tau=0.5, deterministic=True,
+                        rngs={"gumbel": keys[2]})
+    assert probs.shape == (B, L, V)
+    np.testing.assert_allclose(np.asarray(probs.sum(-1)), 1.0, rtol=1e-4)
+    # different gumbel keys give different relaxed samples
+    probs2 = model.apply(params, x, labels, None, 1 - labels, mode="gumbel",
+                         tau=0.5, deterministic=True,
+                         rngs={"gumbel": keys[3]})
+    assert float(jnp.abs(probs - probs2).max()) > 0
+
+
 def test_generator_soft_encoder_input(hard_batch, soft_batch, keys):
     x, labels = hard_batch
     model = DenoiseSeq2Seq(n_vocab=V, n_class=NC, max_len=L)
