@@ -39,9 +39,17 @@ def test_full_pipeline(cfg):
     g_path = run_warmup(cfg, progress=False)
     assert os.path.exists(g_path)
 
+    cfg.resume = True  # also exercise orbax full-state checkpointing
     best = run_optimize(cfg, progress=False)
     # 1 epoch -> first validation always improves on inf -> checkpoint exists
     assert best is not None and os.path.exists(best)
+
+    # crash-recovery: a rerun restores the full state and skips the finished
+    # epoch (start_epoch = saved epoch + 1 == cfg.epochs -> trains nothing)
+    full_state = f"{cfg.ds_dump_dir}/optimize-{cfg.ver}/full_state"
+    assert os.path.isdir(full_state)
+    assert run_optimize(cfg, progress=False) is None  # no epochs re-run
+    assert os.path.exists(best)  # prior best checkpoint untouched
 
     cfg.mode = "test"
     out_paths = run_test(cfg)
