@@ -1,0 +1,49 @@
+from consistent__style_transfer_tpu.config import (
+    DATASET_PRESETS,
+    config_from_args,
+    make_config,
+)
+
+
+def test_dataset_presets():
+    """Reference src/arguments.py:39-46: yelp -> (18, 256), book -> (30, 128)."""
+    yelp = make_config("yelp")
+    assert (yelp.max_len, yelp.batch_size) == (18, 256)
+    book = make_config("book")
+    assert (book.max_len, book.batch_size) == (30, 128)
+    assert set(DATASET_PRESETS) == {"yelp", "book"}
+
+
+def test_reference_loss_weight_defaults():
+    cfg = make_config("yelp")
+    assert (cfg.w_s, cfg.w_c, cfg.w_adv, cfg.w_bt) == (0.1, 0.5, 1.0, 1.0)
+    assert (cfg.tau, cfg.gap, cfg.epochs, cfg.n_class) == (0.1, 0.0, 10, 2)
+
+
+def test_cli_overrides():
+    cfg = config_from_args([
+        "--dataset=yelp", "--ver=wo_s", "--w_s=0", "--tau=0.01",
+        "--epochs=3", "--backbone=transformer", "--n_model=2",
+    ])
+    assert cfg.ver == "wo_s"
+    assert cfg.w_s == 0.0
+    assert cfg.tau == 0.01
+    assert cfg.epochs == 3
+    assert cfg.backbone == "transformer"
+    assert cfg.mesh.n_model == 2
+    # preset still applies under overrides
+    assert cfg.max_len == 18
+
+
+def test_derived_paths():
+    cfg = make_config("yelp", ver="v1")
+    assert cfg.vocab_paths[0].endswith("dump/yelp/yelp-vocab.json")
+    assert cfg.run_out_dir.endswith("output/yelp-v1")
+    assert cfg.split_files("dev") == ["data/yelp/style.dev.0", "data/yelp/style.dev.1"]
+
+
+def test_unknown_override_rejected():
+    import pytest
+
+    with pytest.raises(ValueError):
+        make_config("yelp", nonexistent_knob=1)
