@@ -66,6 +66,27 @@ def score_ratings(rank_matrix: np.ndarray, systems: list[str]) -> dict[str, floa
     return {s: float(scores[:, j].mean()) for j, s in enumerate(systems)}
 
 
+def correlate_with_human(metric_scores: dict[str, np.ndarray],
+                         human_scores: np.ndarray) -> dict[str, dict]:
+    """Pearson correlation of each automatic metric against human judgments,
+    with the 1.96-sigma margin of error on r (reference
+    ``evaluate/auto/utils.py:82-98``). Returns {metric: {r, p, error_bound}}."""
+    from scipy.stats import linregress
+
+    n = len(human_scores)
+    out: dict[str, dict] = {}
+    for name, scores in metric_scores.items():
+        res = linregress(np.asarray(scores, float), np.asarray(human_scores, float))
+        r = float(res.rvalue)
+        std_err_r = (1 - r**2) / np.sqrt(n)
+        out[name] = {
+            "r": r,
+            "p": float(res.pvalue),
+            "error_bound": float(1.96 * std_err_r),
+        }
+    return out
+
+
 def fleiss_kappa(ratings: np.ndarray) -> float:
     """Fleiss' kappa for (n_items, n_categories) count matrix where each row
     sums to the number of raters."""

@@ -38,6 +38,20 @@ def test_rank_scoring():
     np.testing.assert_allclose(ranks_to_scores(np.array([1, 2, 4])), [1, 0.5, 0.25])
 
 
+def test_correlate_with_human():
+    from consistent__style_transfer_tpu.evaluate.human import correlate_with_human
+
+    rng = np.random.default_rng(0)
+    human = rng.normal(size=40)
+    aligned = human * 2 + rng.normal(size=40) * 0.1
+    inverted = -human + rng.normal(size=40) * 0.1
+    out = correlate_with_human({"good": aligned, "bad": inverted}, human)
+    assert out["good"]["r"] > 0.9
+    assert out["bad"]["r"] < -0.9
+    assert out["good"]["p"] < 0.05
+    assert out["good"]["error_bound"] > 0
+
+
 def test_sample_blind_csv(tiny_corpus, tmp_path):
     out_dirs = {}
     for system in ("sysA", "sysB"):
