@@ -19,6 +19,7 @@ Commands:
   ablate        the reference's job.sh sweep: warmup once, then optimize
                 train+test for ver in {full, wo_s, wo_c, wo_adv, wo_bt,
                 wo_allc}, then eval-prepare each
+  serve         stdin->stdout batch transfer with the current best G
   bench         run the throughput benchmark (see bench.py)
 """
 
@@ -135,6 +136,56 @@ def cmd_ablate(cfg: Config) -> None:
         cmd_eval(sub)
 
 
+def cmd_serve(cfg: Config) -> None:
+    """Interactive/batch serving: read `<style>\\t<text>` lines from stdin,
+    print the transferred text. Uses the newest optimize checkpoint (else the
+    warmup G); the decode step compiles once and is reused for every batch."""
+    import numpy as np
+
+    from .data.noise import align
+    from .train.common import get_mesh, get_tokenizer
+    from .train.infer import make_transfer_step
+    from .train.optimize import OptimizeModels, load_generator_params
+    import jax
+
+    cfg.mode = "test"
+    tokenizer = get_tokenizer(cfg)
+    models = OptimizeModels(cfg, len(tokenizer))
+    params = load_generator_params(cfg, models, jax.random.PRNGKey(cfg.seed))
+    step = make_transfer_step(models.generator, cfg.beam_size)
+
+    def flush(styles, texts):
+        if not texts:
+            return
+        enc = [tokenizer.encode(t)[: cfg.max_len] for t in texts]
+        n = len(enc)
+        styles = list(styles)
+        while len(enc) < cfg.batch_size:  # pad to the compiled batch shape
+            enc.append([])
+            styles.append(0)
+        x, _ = align(enc, 0, cfg.max_len)
+        ids = np.asarray(step(params, x, np.asarray(styles, np.int32)))
+        for i in range(n):
+            print(tokenizer.decode(ids[i].tolist()), flush=True)
+
+    styles, texts = [], []
+    for line in sys.stdin:
+        line = line.rstrip("\n")
+        if not line:
+            continue
+        if "\t" in line:
+            s, text = line.split("\t", 1)
+            styles.append(int(s))
+        else:
+            styles.append(0)
+            text = line
+        texts.append(text)
+        if len(texts) == cfg.batch_size:
+            flush(styles, texts)
+            styles, texts = [], []
+    flush(styles, texts)
+
+
 def cmd_bench(cfg: Config) -> None:
     import runpy
 
@@ -153,6 +204,7 @@ COMMANDS = {
     "eval": cmd_eval,
     "run": cmd_run,
     "ablate": cmd_ablate,
+    "serve": cmd_serve,
     "bench": cmd_bench,
 }
 
