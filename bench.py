@@ -39,6 +39,9 @@ def main() -> None:
 
     V, B = 10000, 256
     cfg = make_config("yelp")  # max_len=18, batch 256
+    cfg.dtype = os.environ.get("TPUST_BENCH_DTYPE", cfg.dtype)  # bfloat16 opt-in
+    if os.environ.get("TPUST_BENCH_BATCH"):
+        B = int(os.environ["TPUST_BENCH_BATCH"])
     n_dev = len(jax.devices())
     mesh = make_mesh(n_dev, 1)
     models = OptimizeModels(cfg, V)
