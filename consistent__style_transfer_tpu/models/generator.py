@@ -178,6 +178,10 @@ class _DecoderStep(nn.Module):
             ids_t = jnp.argmax(logits_t, axis=-1).astype(jnp.int32)
             x_next = jnp.take(emb_table, ids_t, axis=0)
             out_t = ids_t
+        elif self.mode == "teacher":
+            # always-teacher-forced (deterministic; used by beam rescoring)
+            x_next = teacher_emb
+            out_t = logits_t
         else:
             greedy = jnp.take(emb_table, jnp.argmax(logits_t, axis=-1), axis=0)
             x_next = jnp.where(coin, teacher_emb, greedy)
@@ -212,8 +216,9 @@ class DenoiseSeq2Seq(nn.Module):
         path — no logits stack); mode="gumbel" is the reference's commented
         gumbel-softmax variant (probs out, needs a "gumbel" rng). L_out =
         x.shape[1] when a teacher x is given, else self.max_len (reference
-        ``rnn.py:65``)."""
-        assert mode in ("st", "sched", "greedy", "gumbel")
+        ``rnn.py:65``); mode="teacher" is fully teacher-forced logits (no
+        scheduled-sampling coin; beam rescoring path)."""
+        assert mode in ("st", "sched", "greedy", "gumbel", "teacher")
         token_embedding = nn.Embed(self.n_vocab, D_EMBED,
                                    embedding_init=embedding_init,
                                    dtype=self.dtype, name="token_embedding")

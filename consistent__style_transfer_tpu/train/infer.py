@@ -28,15 +28,12 @@ def make_transfer_step(model, beam_size: int = 1):
     from .common import generator_call
 
     if beam_size > 1:
-        from ..models.seq2seq_transformer import TransformerSeq2Seq, beam_decode
-
-        assert isinstance(model, TransformerSeq2Seq), \
-            "beam decode requires the transformer backbone"
+        from ..models.beam import beam_decode_any
 
         @jax.jit
         def step(params, x, labels):
-            ids, _scores = beam_decode(model, params, x, labels, 1 - labels,
-                                       beam_size=beam_size)
+            ids, _scores = beam_decode_any(model, params, x, labels, 1 - labels,
+                                           beam_size=beam_size)
             return ids
 
         return step
