@@ -187,10 +187,13 @@ def cmd_serve(cfg: Config) -> None:
 
 
 def cmd_bench(cfg: Config) -> None:
+    import os
     import runpy
 
-    sys.argv = ["bench.py"]
-    runpy.run_path("bench.py", run_name="__main__")
+    bench = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                         "bench.py")
+    sys.argv = [bench]
+    runpy.run_path(bench, run_name="__main__")
 
 
 COMMANDS = {
