@@ -27,7 +27,10 @@ def main() -> None:
     ap.add_argument("--vocab", type=int, default=6000)
     ap.add_argument("--backbone", default="lstm")
     ap.add_argument("--platform", default=None, help="cpu to force CPU")
+    ap.add_argument("--skip", default="", help="comma list: pretrain,warmup")
+    ap.add_argument("--ver", default="smoke")
     args = ap.parse_args()
+    skip = set(args.skip.split(",")) if args.skip else set()
 
     if args.platform:
         import jax
@@ -48,7 +51,7 @@ def main() -> None:
     cfg.dump_dir = f"{b}/dump"
     cfg.log_dir = f"{b}/log"
     cfg.out_dir = f"{b}/output"
-    cfg.ver = "smoke"
+    cfg.ver = args.ver
     cfg.vocab_size = args.vocab
     cfg.batch_size = args.batch
     cfg.warmup_batch_size = min(512, args.batch * 2)
@@ -57,11 +60,13 @@ def main() -> None:
     cfg.backbone = args.backbone
 
     t0 = time.time()
-    print("[smoke] pretrain ...", flush=True)
-    run_pretrain(cfg)
-    print(f"[smoke] pretrain done ({time.time()-t0:.0f}s)", flush=True)
-    run_warmup(cfg)
-    print(f"[smoke] warmup done ({time.time()-t0:.0f}s)", flush=True)
+    if "pretrain" not in skip:
+        print("[smoke] pretrain ...", flush=True)
+        run_pretrain(cfg)
+        print(f"[smoke] pretrain done ({time.time()-t0:.0f}s)", flush=True)
+    if "warmup" not in skip:
+        run_warmup(cfg)
+        print(f"[smoke] warmup done ({time.time()-t0:.0f}s)", flush=True)
     run_optimize(cfg)
     print(f"[smoke] optimize done ({time.time()-t0:.0f}s)", flush=True)
     cfg.mode = "test"
