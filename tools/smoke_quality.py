@@ -29,6 +29,8 @@ def main() -> None:
     ap.add_argument("--platform", default=None, help="cpu to force CPU")
     ap.add_argument("--skip", default="", help="comma list: pretrain,warmup")
     ap.add_argument("--ver", default="smoke")
+    ap.add_argument("--set", action="append", default=[],
+                    help="extra Config overrides, e.g. --set w_c=1.0")
     args = ap.parse_args()
     skip = set(args.skip.split(",")) if args.skip else set()
 
@@ -58,6 +60,10 @@ def main() -> None:
     cfg.epochs = args.epochs
     cfg.warmup_epochs = args.warmup_epochs
     cfg.backbone = args.backbone
+    for kv in args.set:
+        k, v = kv.split("=", 1)
+        cur = getattr(cfg, k)
+        setattr(cfg, k, type(cur)(v) if not isinstance(cur, bool) else v in ("1", "true"))
 
     t0 = time.time()
     if "pretrain" not in skip:
