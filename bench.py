@@ -63,7 +63,7 @@ def main() -> None:
     g_state = TrainState.create(g_params, adam_with_clip(cfg.optimize_lr, cfg.optimize_clip))
     d_state = TrainState.create(d_params, adam_with_clip(cfg.optimize_lr, cfg.optimize_clip))
 
-    g_step, d_grads, d_apply, _acc, _val = make_optimize_steps(cfg, models)
+    g_step, d_grads, _d_reuse, d_apply, _acc, _val = make_optimize_steps(cfg, models)
 
     import jax.numpy as jnp  # noqa: F811
 
@@ -80,7 +80,7 @@ def main() -> None:
     rngs = {"dropout": jax.random.PRNGKey(1), "coin": jax.random.PRNGKey(2)}
 
     def one_iter(g_state, d_state):
-        g_state, aux = g_step(g_state, d_state.params, frozen, batch, rngs)
+        g_state, aux, _fake = g_step(g_state, d_state.params, frozen, batch, rngs)
         grads, _ = d_grads(d_state.params, g_state.params, batch, rngs)
         d_state = d_apply(d_state, grads)
         toks = decode(g_state.params, batch["x"], batch["labels"])

@@ -126,6 +126,10 @@ def make_optimize_steps(cfg: Config, models: OptimizeModels):
 
     @jax.jit
     def g_step(g_state: TrainState, d_params, frozen, batch, rngs):
+        """Returns (new state, aux metrics, stop-gradient fake decode). The
+        fake decode is reusable by the D step when Config.fuse_gan_steps is
+        on (saves a third rollout per batch; the reference recomputes it)."""
+
         def loss_fn(g_params):
             sample_p = st_decode(g_params, batch, rngs, deterministic=False)
             s_logits = CLS.apply(frozen["cls"], sample_p, deterministic=False,
@@ -145,27 +149,35 @@ def make_optimize_steps(cfg: Config, models: OptimizeModels):
             total = w_bt * bk_loss + w_c * c_loss + w_adv * adv_loss + w_s * s_loss
             aux = {"G": adv_loss, "STI": s_loss, "CP": jnp.mean(c_logits),
                    "BK": bk_loss, "loss": total}
-            return total, aux
+            return total, (aux, sample_p)
 
-        (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(g_state.params)
-        return g_state.apply_gradients(grads), aux
+        (_, (aux, sample_p)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(g_state.params)
+        return (g_state.apply_gradients(grads), aux,
+                jax.lax.stop_gradient(sample_p))
+
+    def _d_loss_fn(dp, fake_p, batch, rngs):
+        t_logits = D.apply(dp, batch["x"], deterministic=False, rngs=rngs)
+        f_logits = D.apply(dp, fake_p, deterministic=False, rngs=rngs)
+        d_loss = 0.5 * (
+            bce_with_logits(t_logits, jnp.ones_like(t_logits))
+            + bce_with_logits(f_logits, jnp.zeros_like(f_logits))
+        )
+        return w_adv * d_loss
 
     @jax.jit
     def d_grads(d_params, g_params, batch, rngs):
+        """Faithful D step: fresh no-grad fake decode (main_optimize.py:118-119)."""
         fake_p = jax.lax.stop_gradient(
             st_decode(g_params, batch, rngs, deterministic=False)
         )
+        loss, grads = jax.value_and_grad(_d_loss_fn)(d_params, fake_p, batch, rngs)
+        return grads, loss
 
-        def loss_fn(dp):
-            t_logits = D.apply(dp, batch["x"], deterministic=False, rngs=rngs)
-            f_logits = D.apply(dp, fake_p, deterministic=False, rngs=rngs)
-            d_loss = 0.5 * (
-                bce_with_logits(t_logits, jnp.ones_like(t_logits))
-                + bce_with_logits(f_logits, jnp.zeros_like(f_logits))
-            )
-            return w_adv * d_loss
-
-        loss, grads = jax.value_and_grad(loss_fn)(d_params)
+    @jax.jit
+    def d_grads_reuse(d_params, fake_p, batch, rngs):
+        """Fused variant: reuse the G-step's fake decode (Config.fuse_gan_steps)."""
+        loss, grads = jax.value_and_grad(_d_loss_fn)(d_params, fake_p, batch, rngs)
         return grads, loss
 
     @jax.jit
@@ -187,7 +199,7 @@ def make_optimize_steps(cfg: Config, models: OptimizeModels):
         nt_loss = softmax_cross_entropy_tokens(nt_logits, tokens)
         return nt_loss + s_loss + jnp.mean(c_logits)
 
-    return g_step, d_grads, d_apply, accumulate, val_step
+    return g_step, d_grads, d_grads_reuse, d_apply, accumulate, val_step
 
 
 def run_optimize(cfg: Config, progress: bool = True) -> str | None:
@@ -218,7 +230,8 @@ def run_optimize(cfg: Config, progress: bool = True) -> str | None:
     dev_it = make_batches(dev_corpus, cfg.batch_size, cfg.max_len, "optimize",
                           shuffle=False, seed=cfg.seed)
 
-    g_step, d_grads, d_apply, accumulate, val_step = make_optimize_steps(cfg, models)
+    (g_step, d_grads, d_grads_reuse, d_apply, accumulate,
+     val_step) = make_optimize_steps(cfg, models)
     logger = RunLogger(f"{cfg.log_dir}/{cfg.dataset}", "optimize", cfg.ver, config=cfg)
     stopper = EarlyStopper(cfg.optimize_patience)
     keeper = BestKeeper("min")
@@ -253,10 +266,13 @@ def run_optimize(cfg: Config, progress: bool = True) -> str | None:
     step = 0
     for epoch in range(start_epoch, cfg.epochs):
         for batch_idx, (batch, arrays) in enumerate(DevicePrefetcher(train_it, mesh)):
-            g_state, aux = g_step(g_state, d_state.params, frozen, arrays,
-                                  step_rngs(key, step))
-            grads, d_loss = d_grads(d_state.params, g_state.params, arrays,
-                                    step_rngs(jax.random.fold_in(key, 1), step))
+            g_state, aux, fake_p = g_step(g_state, d_state.params, frozen,
+                                          arrays, step_rngs(key, step))
+            d_rngs = step_rngs(jax.random.fold_in(key, 1), step)
+            if cfg.fuse_gan_steps:
+                grads, d_loss = d_grads_reuse(d_state.params, fake_p, arrays, d_rngs)
+            else:
+                grads, d_loss = d_grads(d_state.params, g_state.params, arrays, d_rngs)
             acc = accumulate(acc, grads)
             if batch_idx % cfg.d_update_every == 0:
                 d_state = d_apply(d_state, acc)
