@@ -79,9 +79,14 @@ def main() -> None:
     }, mesh)
     rngs = {"dropout": jax.random.PRNGKey(1), "coin": jax.random.PRNGKey(2)}
 
+    fused = os.environ.get("TPUST_BENCH_FUSED", "0") == "1"
+
     def one_iter(g_state, d_state):
-        g_state, aux, _fake = g_step(g_state, d_state.params, frozen, batch, rngs)
-        grads, _ = d_grads(d_state.params, g_state.params, batch, rngs)
+        g_state, aux, fake = g_step(g_state, d_state.params, frozen, batch, rngs)
+        if fused:  # Config.fuse_gan_steps path: reuse the G-step's fake decode
+            grads, _ = _d_reuse(d_state.params, fake, batch, rngs)
+        else:
+            grads, _ = d_grads(d_state.params, g_state.params, batch, rngs)
         d_state = d_apply(d_state, grads)
         toks = decode(g_state.params, batch["x"], batch["labels"])
         return g_state, d_state, toks
