@@ -98,9 +98,11 @@ def load_generator_params(cfg: Config, models: OptimizeModels, key):
     B0 = 2
     x0 = jnp.zeros((B0, cfg.max_len), jnp.int32)
     l0 = jnp.zeros((B0,), jnp.int32)
+    from .warmup import warmup_ckpt_name
+
     template = models.generator.init(key, x0, l0, None, l0, deterministic=True)
     task_dump = os.path.join(cfg.ds_dump_dir, f"optimize-{cfg.ver}")
-    warm = os.path.join(cfg.ds_dump_dir, "warmup", "G.msgpack")
+    warm = os.path.join(cfg.ds_dump_dir, "warmup", warmup_ckpt_name(cfg))
     if cfg.mode == "test":
         newest = newest_checkpoint(task_dump)
         if newest:

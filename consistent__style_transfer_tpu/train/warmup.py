@@ -26,6 +26,13 @@ from .loop import EarlyStopper, Throughput
 from .state import BestKeeper, TrainState, adam_with_clip, save_params
 
 
+def warmup_ckpt_name(cfg: Config) -> str:
+    """Reference name for the reference backbone; backbone-qualified
+    otherwise, so alternate backbones never clobber the lstm G
+    (``dump/<ds>/warmup/G.pth`` contract, ``src/main_warmup.py:77``)."""
+    return "G.msgpack" if cfg.backbone == "lstm" else f"G_{cfg.backbone}.msgpack"
+
+
 def make_warmup_steps(model):
     from .common import generator_call
 
@@ -58,7 +65,7 @@ def run_warmup(cfg: Config, progress: bool = True) -> str:
     mesh = get_mesh(cfg)
     task_dump = os.path.join(cfg.ds_dump_dir, "warmup")
     os.makedirs(task_dump, exist_ok=True)
-    g_path = os.path.join(task_dump, "G.msgpack")
+    g_path = os.path.join(task_dump, warmup_ckpt_name(cfg))
 
     train_corpus = get_corpus(cfg, "train", tokenizer)
     dev_corpus = get_corpus(cfg, "dev", tokenizer)
