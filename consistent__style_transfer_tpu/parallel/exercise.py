@@ -1,0 +1,95 @@
+"""Full optimize-stage GAN step on an explicit (data, model) mesh.
+
+This is the multi-chip correctness exercise shared by the driver gate
+(``__graft_entry__.dryrun_multichip``) and CI
+(``tests/test_parallel.py::test_optimize_step_tp_mesh``): jit the complete
+optimize training step — straight-through GAN decode + back-translation
+rollout, discriminator grads, validation scoring — with real DP batch
+sharding and Megatron-style TP param sharding, and run ONE step on tiny
+shapes. Mirrors the reference's single-GPU loop
+(``/root/reference/src/main_optimize.py:96-141``) scaled onto a device mesh.
+"""
+
+from __future__ import annotations
+
+
+def optimize_step_on_mesh(n_data: int, n_model: int, *, vocab: int = 256,
+                          max_len: int = 6, batch: int | None = None) -> dict:
+    """Run one sharded G step + D step + val step; return the scalar losses.
+
+    Requires ``n_data * n_model`` visible JAX devices. Raises on any
+    sharding/compile failure; returns finite floats otherwise.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from consistent__style_transfer_tpu.config import make_config
+    from consistent__style_transfer_tpu.parallel.mesh import make_mesh
+    from consistent__style_transfer_tpu.parallel.sharding import (
+        shard_batch,
+        shard_params,
+    )
+    from consistent__style_transfer_tpu.train.optimize import (
+        OptimizeModels,
+        make_optimize_steps,
+    )
+    from consistent__style_transfer_tpu.train.state import (
+        TrainState,
+        adam_with_clip,
+    )
+
+    n_devices = n_data * n_model
+    assert len(jax.devices()) >= n_devices, (
+        f"need {n_devices} devices, have {jax.devices()}"
+    )
+    mesh = make_mesh(n_data, n_model)
+
+    V, L = vocab, max_len
+    B = batch if batch is not None else 2 * n_devices
+    cfg = make_config("yelp")
+    cfg.max_len = L
+    cfg.vocab_size = V
+    cfg.mesh.n_data = n_data
+    cfg.mesh.n_model = n_model
+    models = OptimizeModels(cfg, V)
+
+    key = jax.random.PRNGKey(0)
+    x0 = jnp.zeros((2, L), jnp.int32)
+    l0 = jnp.zeros((2,), jnp.int32)
+    n0 = jnp.zeros((2, L + L // 2), jnp.int32)
+    kg, kc, km, kn, kd = jax.random.split(key, 5)
+    g_params = shard_params(
+        models.generator.init(kg, x0, l0, None, l0, deterministic=True), mesh)
+    frozen = {
+        "cls": shard_params(models.classifier.init(kc, x0), mesh),
+        "mat": shard_params(models.matcher.init(km, n0, n0), mesh),
+        "nt": shard_params(models.nt_checker.init(kn, x0), mesh),
+    }
+    d_params = shard_params(models.disc.init(kd, x0), mesh)
+
+    g_state = TrainState.create(g_params, adam_with_clip(1e-5, 1.0))
+    d_state = TrainState.create(d_params, adam_with_clip(1e-5, 1.0))
+    (g_step, d_grads, _d_grads_reuse, d_apply, _accumulate,
+     val_step) = make_optimize_steps(cfg, models)
+
+    rngs = {"dropout": jax.random.PRNGKey(1), "coin": jax.random.PRNGKey(2)}
+    data = shard_batch(
+        {
+            "x": np.random.RandomState(0).randint(0, V, (B, L)).astype(np.int32),
+            "labels": np.random.RandomState(1).randint(0, 2, (B,)).astype(np.int32),
+        },
+        mesh,
+    )
+    g_state, aux, _fake = g_step(g_state, d_state.params, frozen, data, rngs)
+    grads, d_loss = d_grads(d_state.params, g_state.params, data, rngs)
+    d_state = d_apply(d_state, grads)
+    val = val_step(g_state.params, frozen, data)
+    # materialize everything (raises on any sharding/compile failure)
+    jax.block_until_ready((aux, d_loss, val))
+    return {
+        "mesh": dict(mesh.shape),
+        "g_loss": float(aux["loss"]),
+        "d_loss": float(d_loss),
+        "val": float(val),
+    }

@@ -92,3 +92,19 @@ def test_shard_batch_places_on_data_axis():
     mesh = make_mesh(8, 1)
     batch = shard_batch({"x": np.zeros((16, 4), np.int32)}, mesh)
     assert batch["x"].sharding.spec == P("data", None)
+
+
+def test_optimize_step_tp_mesh():
+    """The driver-gated multi-chip exercise, in CI: one full optimize GAN
+    step (ST decode + back-translation + D grads + val scoring) on a
+    data=4 x model=2 mesh must compile, run, and produce finite losses.
+    Shares code with ``__graft_entry__.dryrun_multichip`` via
+    ``parallel.exercise.optimize_step_on_mesh``."""
+    from consistent__style_transfer_tpu.parallel.exercise import (
+        optimize_step_on_mesh,
+    )
+
+    out = optimize_step_on_mesh(4, 2)
+    assert out["mesh"] == {"data": 4, "model": 2}
+    for k in ("g_loss", "d_loss", "val"):
+        assert np.isfinite(out[k]), (k, out)
