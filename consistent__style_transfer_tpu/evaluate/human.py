@@ -3,9 +3,13 @@
 - :func:`sample_blind_csv` — sample N pairs per style per dataset across
   systems, write blind-rating CSVs with style-masked variants
   (``sample_test.py:36-101``);
-- :func:`score_ratings` — read rated CSVs (R raters x S systems interleaved),
-  convert ranks to 1/rank scores (``calculate.py:5-20,66-79``);
-- :func:`fleiss_kappa` — inter-rater agreement (``calculate.py:23-63``).
+- :func:`ingest_rated_csv` — read one rater's filled-in CSV (systems
+  interleaved cyclically, optional reversed-scale correction,
+  ``calculate.py:5-20``);
+- :func:`score_rater_files` / :func:`score_ratings` — 1/rank scores averaged
+  over raters (``calculate.py:66-79``);
+- :func:`kappa_from_rater_files` / :func:`fleiss_kappa` — inter-rater
+  agreement (``calculate.py:23-63,80-86``).
 """
 
 from __future__ import annotations
@@ -52,6 +56,74 @@ def sample_blind_csv(
         writer = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
         writer.writeheader()
         writer.writerows(rows)
+
+
+def ingest_rated_csv(
+    path: str,
+    n_systems: int = 3,
+    reverse: bool = False,
+    metrics: tuple[str, ...] = ("STI", "CP", "NT"),
+) -> np.ndarray:
+    """Read one rater's filled-in CSV (reference ``calculate.py:5-20``).
+
+    Rows interleave the systems cyclically (row i rates system ``i %
+    n_systems``); each row carries 1-based integer ranks in the metric
+    columns. ``reverse=True`` corrects a rater who used the reversed scale
+    (rank x -> n_systems+1-x, the reference's ``4 - x`` for 3 systems).
+    Returns an int array of shape (n_systems, n_items, n_metrics).
+    """
+    per_system: list[list[list[int]]] = [[] for _ in range(n_systems)]
+    with open(path, newline="", encoding="utf-8") as f:
+        for i, row in enumerate(csv.DictReader(f)):
+            ranks = [int(row[m]) for m in metrics]
+            if reverse:
+                ranks = [n_systems + 1 - r for r in ranks]
+            per_system[i % n_systems].append(ranks)
+    counts = {len(s) for s in per_system}
+    if len(counts) != 1:
+        raise ValueError(
+            f"{path}: row count must be a multiple of n_systems="
+            f"{n_systems}, got per-system counts {[len(s) for s in per_system]}"
+        )
+    return np.asarray(per_system, dtype=np.int64)
+
+
+def score_rater_files(
+    rater_files: list[tuple[str, bool]],
+    n_systems: int = 3,
+    metrics: tuple[str, ...] = ("STI", "CP", "NT"),
+) -> np.ndarray:
+    """Mean 1/rank per (system, metric), averaged over raters — the
+    reference's ``(res_0.mean(1)+res_1.mean(1)+res_2.mean(1))/3``
+    (``calculate.py:66-71``). ``rater_files`` is [(csv_path, reverse), ...].
+    Returns (n_systems, n_metrics) float scores."""
+    per_rater = [
+        ranks_to_scores(ingest_rated_csv(p, n_systems, rev, metrics)).mean(axis=1)
+        for p, rev in rater_files
+    ]
+    return np.mean(per_rater, axis=0)
+
+
+def kappa_from_rater_files(
+    rater_files: list[tuple[str, bool]],
+    n_systems: int = 3,
+    metrics: tuple[str, ...] = ("STI", "CP", "NT"),
+) -> float:
+    """Fleiss' kappa over every (system, item, metric) rank assignment with
+    the raters as judges — the reference's ``create_kappa_mat`` over the
+    flattened per-rater sequences + ``fleissKappa(n=3)``
+    (``calculate.py:54-63,80-86``)."""
+    flat = [
+        ingest_rated_csv(p, n_systems, rev, metrics).ravel()
+        for p, rev in rater_files
+    ]
+    n_subjects = flat[0].size
+    if any(f.size != n_subjects for f in flat):
+        raise ValueError("raters rated different numbers of subjects")
+    counts = np.zeros((n_subjects, n_systems), dtype=np.int64)
+    for f in flat:
+        counts[np.arange(n_subjects), f - 1] += 1
+    return fleiss_kappa(counts)
 
 
 def ranks_to_scores(ranks: np.ndarray) -> np.ndarray:
