@@ -23,6 +23,66 @@ BASELINE_PATH = os.path.join(os.path.dirname(__file__), "benchmarks", "baseline_
 FALLBACK_BASELINE = 1.97
 
 
+def measure_sustained() -> list[dict]:
+    """Sustained throughput over the REAL optimize pipeline — corpus load,
+    host batching + prefetch, G step, D grad accumulation + periodic apply,
+    per-epoch validation, best-G checkpointing — on the synthetic yelp corpus
+    (data/yelp, 16k sentences/style). Returns per-epoch stats; epoch 0
+    carries the compiles, so the last epoch is the steady-state rate.
+
+    Frozen scorers + warmup G are seeded with random inits through the
+    production save/load path (throughput is weight-independent)."""
+    import jax
+    import jax.numpy as jnp
+
+    from consistent__style_transfer_tpu.config import make_config
+    from consistent__style_transfer_tpu.train.common import get_tokenizer
+    from consistent__style_transfer_tpu.train.optimize import (
+        OptimizeModels,
+        run_optimize,
+    )
+    from consistent__style_transfer_tpu.train.state import save_params
+    from consistent__style_transfer_tpu.train.warmup import warmup_ckpt_name
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    work = os.path.join(root, "workdir", "bench_sustained")
+    cfg = make_config(
+        "yelp",
+        data_dir=os.path.join(root, "data"),
+        dump_dir=os.path.join(work, "dump"),
+        log_dir=os.path.join(work, "log"),
+        out_dir=os.path.join(work, "output"),
+        epochs=2,
+        ver="bench",
+    )
+    cfg.dtype = os.environ.get("TPUST_BENCH_DTYPE", cfg.dtype)
+    if not os.path.exists(cfg.train_files()[0]):
+        return []
+
+    tok = get_tokenizer(cfg)
+    models = OptimizeModels(cfg, len(tok))
+    key = jax.random.PRNGKey(0)
+    x0 = jnp.zeros((2, cfg.max_len), jnp.int32)
+    l0 = jnp.zeros((2,), jnp.int32)
+    n0 = jnp.zeros((2, cfg.max_len + cfg.max_len // 2), jnp.int32)
+    kc, km, kn, kg = jax.random.split(key, 4)
+    pre = os.path.join(cfg.ds_dump_dir, "pretrain")
+    os.makedirs(pre, exist_ok=True)
+    save_params(models.classifier.init(kc, x0), os.path.join(pre, "cls.msgpack"))
+    save_params(models.matcher.init(km, n0, n0), os.path.join(pre, "mat.msgpack"))
+    save_params(models.nt_checker.init(kn, x0), os.path.join(pre, "dn.msgpack"))
+    warm = os.path.join(cfg.ds_dump_dir, "warmup")
+    os.makedirs(warm, exist_ok=True)
+    save_params(
+        models.generator.init(kg, x0, l0, None, l0, deterministic=True),
+        os.path.join(warm, warmup_ckpt_name(cfg)),
+    )
+
+    stats: list[dict] = []
+    run_optimize(cfg, progress=False, stats=stats)
+    return stats
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -118,12 +178,23 @@ def main() -> None:
         with open(BASELINE_PATH) as f:
             baseline = json.load(f)["sentences_per_sec"]
 
-    print(json.dumps({
+    out = {
         "metric": "Train + decode sentences/sec/chip at parity transfer-acc/BLEU (Yelp)",
         "value": round(value, 2),
         "unit": "sentences/sec/chip",
         "vs_baseline": round(value / baseline, 2),
-    }))
+    }
+
+    # sustained = real optimize pipeline (host batching + prefetch + G/D +
+    # validation + checkpointing), steady-state epoch (VERDICT r1 item 4)
+    if os.environ.get("TPUST_BENCH_SUSTAINED", "1") == "1":
+        stats = measure_sustained()
+        if stats:
+            sustained = stats[-1]["sentences_per_sec"] / max(n_dev, 1)
+            out["sustained_sentences_per_sec"] = round(sustained, 2)
+            out["sustained_vs_baseline"] = round(sustained / baseline, 2)
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

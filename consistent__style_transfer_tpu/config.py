@@ -80,6 +80,12 @@ class Config:
     # no_grad each batch, so default stays faithful)
     sinkhorn_wmd: bool = True  # on-device WMD labels (False = exact host path)
     remat_decode: bool = False
+    rep_penalty: float = 0.0  # greedy-decode repetition penalty (alpha >= 0);
+    # subtracts alpha*count(token emitted so far) from the logits of content
+    # tokens at inference. 0 = off (reference-faithful decode)
+    w_rec: float = 0.0  # optimize-stage self-reconstruction CE weight
+    # (copy bias: CE(G(x, s, teacher=x, s), x) added to the G loss; no
+    # reference equivalent — content-preservation lever for weak-DAE regimes)
 
     # derived paths
     @property

@@ -127,10 +127,15 @@ class _DecoderStep(nn.Module):
     dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
     pallas_interpret: bool = False
+    rep_penalty: float = 0.0  # greedy decode: subtract alpha*count(token)
 
     @nn.compact
     def __call__(self, carry, xs):
-        h, c, x_t, memory, emb_table = carry
+        counts = None
+        if self.mode == "greedy" and self.rep_penalty > 0:
+            h, c, x_t, memory, emb_table, counts = carry
+        else:
+            h, c, x_t, memory, emb_table = carry
         teacher_emb, coin = xs
 
         (h, c), o_t = LSTMCell(D_DEC, self.dtype, name="cell")((h, c), x_t)
@@ -175,7 +180,17 @@ class _DecoderStep(nn.Module):
         elif self.mode == "greedy":
             # inference fast path: the scan emits only token ids, so no
             # (L, B, V) logits stack ever reaches HBM
+            if counts is not None:
+                # additive repetition penalty on already-emitted tokens
+                # (decode-time degeneracy control; no reference equivalent —
+                # its greedy decode shows "just just just" loops on weak DAEs)
+                logits_t = logits_t - self.rep_penalty * counts
             ids_t = jnp.argmax(logits_t, axis=-1).astype(jnp.int32)
+            if counts is not None:
+                # count only content tokens (ids >= 3): PAD/BOS/EOS must stay
+                # free to repeat so sentence padding is unaffected
+                hot = jax.nn.one_hot(ids_t, self.n_vocab, dtype=counts.dtype)
+                counts = counts + hot * (ids_t >= 3)[:, None]
             x_next = jnp.take(emb_table, ids_t, axis=0)
             out_t = ids_t
         elif self.mode == "teacher":
@@ -187,6 +202,8 @@ class _DecoderStep(nn.Module):
             x_next = jnp.where(coin, teacher_emb, greedy)
             out_t = logits_t
         x_next = nn.Dropout(self.p_drop)(x_next, deterministic=self.deterministic)
+        if counts is not None:
+            return (h, c, x_next, memory, emb_table, counts), out_t
         return (h, c, x_next, memory, emb_table), out_t
 
 
@@ -199,6 +216,7 @@ class DenoiseSeq2Seq(nn.Module):
     remat: bool = False
     use_pallas: bool = False        # fused decode head in greedy mode (TPU)
     pallas_interpret: bool = False  # interpret-mode kernels (CPU tests)
+    rep_penalty: float = 0.0        # greedy decode repetition penalty (alpha)
 
     @nn.compact
     def __call__(
@@ -283,6 +301,7 @@ class DenoiseSeq2Seq(nn.Module):
             in_axes=0,
             out_axes=0,
         )
+        rep = self.rep_penalty if mode == "greedy" else 0.0
         step = scan(
             n_vocab=self.n_vocab,
             mode=mode,
@@ -290,11 +309,18 @@ class DenoiseSeq2Seq(nn.Module):
             p_drop=self.p_drop,
             deterministic=deterministic,
             dtype=self.dtype,
-            use_pallas=self.use_pallas,
+            # the fused Pallas head argmaxes inside the kernel, before the
+            # penalty could apply — fall back to the XLA head when active
+            use_pallas=self.use_pallas and rep <= 0,
             pallas_interpret=self.pallas_interpret,
+            rep_penalty=rep,
             name="decoder",
         )
-        carry0 = (h0, c0, x0, memory, emb_table)
+        if rep > 0:
+            counts0 = jnp.zeros((B, self.n_vocab), self.dtype)
+            carry0 = (h0, c0, x0, memory, emb_table, counts0)
+        else:
+            carry0 = (h0, c0, x0, memory, emb_table)
         _, outs = step(carry0, (teacher, coins))
         return jnp.swapaxes(outs, 0, 1)  # (B, L_out, V) or (B, L_out) ids
 

@@ -76,7 +76,8 @@ def build_generator(cfg: Config, n_vocab: int):
         return TransformerSeq2Seq(**kw)
     assert cfg.backbone == "lstm", cfg.backbone
     use_pallas = cfg.use_pallas and jax.default_backend() not in ("cpu",)
-    return DenoiseSeq2Seq(use_pallas=use_pallas, **kw)
+    return DenoiseSeq2Seq(use_pallas=use_pallas, rep_penalty=cfg.rep_penalty,
+                          **kw)
 
 
 def generator_call(model, params, inp, label_i, x, label, mode="sched",

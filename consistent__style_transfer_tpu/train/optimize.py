@@ -118,6 +118,7 @@ def make_optimize_steps(cfg: Config, models: OptimizeModels):
                           models.nt_checker, models.disc)
     tau, gap = cfg.tau, cfg.gap
     w_s, w_c, w_adv, w_bt = cfg.w_s, cfg.w_c, cfg.w_adv, cfg.w_bt
+    w_rec = cfg.w_rec
 
     from .common import generator_call
 
@@ -150,7 +151,19 @@ def make_optimize_steps(cfg: Config, models: OptimizeModels):
             bk_loss = softmax_cross_entropy_tokens(bk_logits, batch["x"])
             total = w_bt * bk_loss + w_c * c_loss + w_adv * adv_loss + w_s * s_loss
             aux = {"G": adv_loss, "STI": s_loss, "CP": jnp.mean(c_logits),
-                   "BK": bk_loss, "loss": total}
+                   "BK": bk_loss}
+            if w_rec > 0:
+                # copy bias (Config.w_rec): same-style teacher-forced
+                # reconstruction CE — anchors the generator to its input
+                # content while the 4 reference losses push the transfer
+                rec_logits = generator_call(
+                    G, g_params, batch["x"], batch["labels"], batch["x"],
+                    batch["labels"], mode="sched", deterministic=False,
+                    rngs=rngs)
+                rec_loss = softmax_cross_entropy_tokens(rec_logits, batch["x"])
+                total = total + w_rec * rec_loss
+                aux["REC"] = rec_loss
+            aux["loss"] = total
             return total, (aux, sample_p)
 
         (_, (aux, sample_p)), grads = jax.value_and_grad(
@@ -204,9 +217,15 @@ def make_optimize_steps(cfg: Config, models: OptimizeModels):
     return g_step, d_grads, d_grads_reuse, d_apply, accumulate, val_step
 
 
-def run_optimize(cfg: Config, progress: bool = True) -> str | None:
+def run_optimize(cfg: Config, progress: bool = True,
+                 stats: list | None = None) -> str | None:
     """Train mode; returns path of the best G checkpoint (None if never
-    improved — reference keeps no checkpoint in that case either)."""
+    improved — reference keeps no checkpoint in that case either).
+
+    When ``stats`` is a list, one dict per epoch is appended with the
+    epoch's sustained sentences/sec over the REAL pipeline (host batching +
+    prefetch + G/D steps + validation), measured at the post-validation
+    host fetch so queued device work cannot be miscounted as done."""
     tokenizer = get_tokenizer(cfg)
     mesh = get_mesh(cfg)
     V = len(tokenizer)
@@ -267,6 +286,7 @@ def run_optimize(cfg: Config, progress: bool = True) -> str | None:
     acc = zero_grads
     step = 0
     for epoch in range(start_epoch, cfg.epochs):
+        ep_thru = Throughput()
         for batch_idx, (batch, arrays) in enumerate(DevicePrefetcher(train_it, mesh)):
             g_state, aux, fake_p = g_step(g_state, d_state.params, frozen,
                                           arrays, step_rngs(key, step))
@@ -280,6 +300,7 @@ def run_optimize(cfg: Config, progress: bool = True) -> str | None:
                 d_state = d_apply(d_state, acc)
                 acc = zero_grads
             thru.add(cfg.batch_size)
+            ep_thru.add(cfg.batch_size)
             if step % 20 == 0:
                 logger.log(step, D=d_loss, **aux, **thru.rates())
             step += 1
@@ -291,6 +312,11 @@ def run_optimize(cfg: Config, progress: bool = True) -> str | None:
             total += float(loss) * batch.valid
             weight += batch.valid
         val_loss = total / max(weight, 1)
+        # the float() fetches above forced completion of all queued work, so
+        # the epoch rate (train batches / wall incl. validation) is honest
+        if stats is not None:
+            stats.append({"epoch": epoch, "sentences": ep_thru.sentences,
+                          **ep_thru.rates()})
         logger.log(step, val_loss=val_loss, epoch=epoch)
         if progress:
             print(f"[optimize] epoch {epoch} val_loss {val_loss:.4f} "

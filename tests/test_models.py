@@ -103,6 +103,34 @@ def test_generator_greedy_ids_match_sched_argmax(hard_batch, keys):
     np.testing.assert_array_equal(np.asarray(ids), np.asarray(jnp.argmax(logits, -1)))
 
 
+def test_generator_rep_penalty_blocks_repeats(hard_batch, keys):
+    """With a large repetition penalty, greedy decode never emits the same
+    content token (id >= 3) twice in a sentence; with penalty 0 the decode is
+    bit-identical to the default path (same params, same carry semantics)."""
+    x, labels = hard_batch
+    base = DenoiseSeq2Seq(n_vocab=V, n_class=NC, max_len=L)
+    params = base.init(keys[7], x, labels, None, labels, deterministic=True)
+    ids0 = base.apply(params, x, labels, None, 1 - labels, mode="greedy",
+                      deterministic=True)
+    pen = DenoiseSeq2Seq(n_vocab=V, n_class=NC, max_len=L, rep_penalty=1e9)
+    ids1 = pen.apply(params, x, labels, None, 1 - labels, mode="greedy",
+                     deterministic=True)
+    for row in np.asarray(ids1):
+        content = row[row >= 3]
+        assert len(set(content.tolist())) == len(content), row
+    zero = DenoiseSeq2Seq(n_vocab=V, n_class=NC, max_len=L, rep_penalty=0.0)
+    np.testing.assert_array_equal(
+        np.asarray(zero.apply(params, x, labels, None, 1 - labels,
+                              mode="greedy", deterministic=True)),
+        np.asarray(ids0))
+    # training modes are untouched by the knob
+    logits_pen = pen.apply(params, x, labels, None, 1 - labels, mode="sched",
+                           deterministic=True)
+    logits_base = base.apply(params, x, labels, None, 1 - labels, mode="sched",
+                             deterministic=True)
+    np.testing.assert_array_equal(np.asarray(logits_pen), np.asarray(logits_base))
+
+
 def test_generator_pallas_head_matches(hard_batch, keys):
     """Greedy decode with the fused Pallas head (interpret mode) equals the
     plain jnp path, using the same checkpoint layout."""
