@@ -1,0 +1,91 @@
+"""Probe Mosaic compilability of the Pallas Sinkhorn kernel (VERDICT item 5).
+
+The round-1 finding was that this environment's remote Mosaic compile helper
+rejects the kernel (HTTP 500) at the default tiling (GROUP=8, LANES=128).
+This probe sweeps (group, lanes) variants at the production WMD shape
+(B=256 pairs, N=M=48 atoms) and, for any variant that compiles, checks
+numerics against the jnp Sinkhorn and times it the amortized way.
+
+Usage: python benchmarks/probe_sinkhorn.py [--out workdir/sinkhorn_probe.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="workdir/sinkhorn_probe.json")
+    ap.add_argument("--pairs", type=int, default=256)
+    ap.add_argument("--atoms", type=int, default=48)
+    ap.add_argument("--iters", type=int, default=100)
+    args = ap.parse_args()
+
+    from consistent__style_transfer_tpu.kernels.sinkhorn import sinkhorn_pallas
+    from consistent__style_transfer_tpu.ops.emd import sinkhorn_ot_cost
+
+    B, N = args.pairs, args.atoms
+    key = jax.random.PRNGKey(0)
+    kp, kq, kd = jax.random.split(key, 3)
+    # simplex-ish masses with some zero atoms (mirrors BoW WMD inputs)
+    p = jax.random.uniform(kp, (B, N)) * (jax.random.uniform(kp, (B, N)) > 0.3)
+    q = jax.random.uniform(kq, (B, N)) * (jax.random.uniform(kq, (B, N)) > 0.3)
+    p = p / jnp.maximum(p.sum(-1, keepdims=True), 1e-9)
+    q = q / jnp.maximum(q.sum(-1, keepdims=True), 1e-9)
+    D = jax.random.uniform(kd, (B, N, N))
+
+    ref = np.asarray(sinkhorn_ot_cost(p, q, D, n_iters=args.iters))
+
+    def time_jnp():
+        f = jax.jit(lambda p, q, D: sinkhorn_ot_cost(p, q, D,
+                                                     n_iters=args.iters))
+        np.asarray(f(p, q, D))
+        times = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            np.asarray(f(p, q, D))
+            times.append(time.perf_counter() - t0)
+        return float(min(times) * 1e3)
+
+    results = {"jnp_ms": round(time_jnp(), 3), "variants": []}
+    print(f"jnp sinkhorn: {results['jnp_ms']} ms / {B} pairs", flush=True)
+
+    for group, lanes in ((8, 128), (1, 128), (8, 64), (1, 64), (4, 128)):
+        row = {"group": group, "lanes": lanes}
+        try:
+            out = sinkhorn_pallas(p, q, D, n_iters=args.iters,
+                                  group=group, lanes=lanes)
+            got = np.asarray(out)
+            row["compiled"] = True
+            row["max_abs_err"] = float(np.max(np.abs(got - ref)))
+            times = []
+            for _ in range(5):
+                t0 = time.perf_counter()
+                np.asarray(sinkhorn_pallas(p, q, D, n_iters=args.iters,
+                                           group=group, lanes=lanes))
+                times.append(time.perf_counter() - t0)
+            row["ms"] = round(float(min(times) * 1e3), 3)
+        except Exception as e:
+            row["compiled"] = False
+            row["error"] = str(e).splitlines()[0][:200]
+        print(json.dumps(row), flush=True)
+        results["variants"].append(row)
+
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

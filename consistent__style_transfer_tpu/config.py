@@ -74,7 +74,6 @@ class Config:
     seed: int = 0
     dtype: str = "float32"  # compute dtype: float32 | bfloat16
     mesh: MeshConfig = field(default_factory=MeshConfig)
-    use_pallas: bool = False  # fused kernels on TPU hot paths
     fuse_gan_steps: bool = False  # reuse the G-step's fake decode for the D
     # step (saves ~1/3 of optimize compute; reference recomputes it under
     # no_grad each batch, so default stays faithful)

@@ -52,7 +52,8 @@ def _kernel(x_ref, w1_ref, b1_ref, w2_ref, ids_ref, h_out_ref,
         best_ref[:, :] = jnp.full_like(best_ref, NEG)
         arg_ref[:, :] = jnp.zeros_like(arg_ref)
 
-    logits = jnp.dot(h_ref[:, :], w2_ref[:, :], preferred_element_type=jnp.float32)
+    logits = jnp.dot(h_ref[:, :].astype(w2_ref.dtype), w2_ref[:, :],
+                     preferred_element_type=jnp.float32)
     # mask padded vocab columns in the final tile
     col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1) + t * tile_v
     logits = jnp.where(col < v_total, logits, NEG)
@@ -74,10 +75,13 @@ def fused_decode_logits(x, w1, b1, w2, tile_v: int = 2048, interpret: bool = Fal
 
     x: (B, Din); w1: (Din, H); b1: (H,); w2: (H, V).
     """
-    x = jnp.asarray(x, jnp.float32)
-    w1 = jnp.asarray(w1, jnp.float32)
+    # bf16 inputs stay bf16 (MXU-native; dots accumulate in f32 via
+    # preferred_element_type); everything else is upcast to f32.
+    comp = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
+    x = jnp.asarray(x, comp)
+    w1 = jnp.asarray(w1, comp)
     b1 = jnp.asarray(b1, jnp.float32).reshape(1, -1)
-    w2 = jnp.asarray(w2, jnp.float32)
+    w2 = jnp.asarray(w2, comp)
     B, Din = x.shape
     H = w1.shape[1]
     V = w2.shape[1]

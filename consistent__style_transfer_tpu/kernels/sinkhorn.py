@@ -85,12 +85,17 @@ def _kernel(p_ref, q_ref, d_ref, out_ref, *, epsilon: float, n_iters: int):
         out_ref[g : g + 1, :] = jnp.sum(T * D).reshape(1, 1)
 
 
-@functools.partial(jax.jit, static_argnames=("epsilon", "n_iters", "interpret"))
+@functools.partial(jax.jit, static_argnames=(
+    "epsilon", "n_iters", "interpret", "group", "lanes"))
 def sinkhorn_pallas(p, q, D, epsilon: float = 0.05, n_iters: int = 100,
-                    interpret: bool = False):
-    """Pads atoms to the 128-lane tile and batches GROUP pairs per program
+                    interpret: bool = False, group: int = GROUP,
+                    lanes: int = LANES):
+    """Pads atoms to the 128-lane tile and batches `group` pairs per program
     (Mosaic requires tile-aligned trailing dims). Zero-mass padding atoms are
-    masked inside the kernel, so padding never changes the result."""
+    masked inside the kernel, so padding never changes the result. `group`
+    and `lanes` are exposed so environments whose Mosaic build rejects the
+    default tiling can probe smaller blocks (see benchmarks/probe_sinkhorn.py)."""
+    GROUP, LANES = group, lanes
     p = jnp.asarray(p, jnp.float32)
     q = jnp.asarray(q, jnp.float32)
     D = jnp.asarray(D, jnp.float32)

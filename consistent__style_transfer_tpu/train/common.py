@@ -75,9 +75,11 @@ def build_generator(cfg: Config, n_vocab: int):
 
         return TransformerSeq2Seq(**kw)
     assert cfg.backbone == "lstm", cfg.backbone
-    use_pallas = cfg.use_pallas and jax.default_backend() not in ("cpu",)
-    return DenoiseSeq2Seq(use_pallas=use_pallas, rep_penalty=cfg.rep_penalty,
-                          **kw)
+    # The Pallas fused decode head is an experiment, not a production path:
+    # measured within noise of XLA's own fusion at every (V, dtype) regime
+    # probed (benchmarks/bench_decode_head.py; RESULTS.md "Pallas verdict"),
+    # so the model default (use_pallas=False) is always used here.
+    return DenoiseSeq2Seq(rep_penalty=cfg.rep_penalty, **kw)
 
 
 def generator_call(model, params, inp, label_i, x, label, mode="sched",

@@ -85,7 +85,7 @@ def main() -> None:
     res["wall_s"] = time.time() - t0
     res["backbone"] = cfg.backbone
     print("[smoke] RESULT " + json.dumps(res), flush=True)
-    with open(f"{b}/result_{cfg.backbone}.json", "w") as f:
+    with open(f"{b}/result_{cfg.ver}.json", "w") as f:
         json.dump(res, f, indent=2)
 
 
