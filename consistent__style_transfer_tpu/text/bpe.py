@@ -245,6 +245,20 @@ def build_cli(dataset: str, vocab_size: int, data_dir: str, dump_dir: str) -> BP
             os.path.join(data_dir, dataset, "style.train.0"),
             os.path.join(data_dir, dataset, "style.train.1"),
         ]
-        tok = BPETokenizer.train(files, vocab_size)
+        tok = None
+        try:
+            # C++ trainer learns identical vocab+merges (parity-tested in
+            # tests/test_native.py::test_native_train_matches_python_train)
+            # and is the production path at real-corpus scale (270k
+            # lines/style; see tools/scale_readiness.py timings).
+            from . import native as nat
+
+            if nat.available() or nat.build():
+                vocab, merges = nat.native_bpe_train(files, vocab_size)
+                tok = BPETokenizer(vocab, merges)
+        except Exception:
+            tok = None
+        if tok is None:
+            tok = BPETokenizer.train(files, vocab_size)
         tok.save(os.path.join(dump_dir, dataset), dataset)
     return BPETokenizer.load(vocab_path, merges_path)
