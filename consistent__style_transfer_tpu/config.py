@@ -85,6 +85,11 @@ class Config:
     w_rec: float = 0.0  # optimize-stage self-reconstruction CE weight
     # (copy bias: CE(G(x, s, teacher=x, s), x) added to the G loss; no
     # reference equivalent — content-preservation lever for weak-DAE regimes)
+    w_copy: float = 0.0  # copy-regularization on the FREE-RUNNING transfer:
+    # -log p(x_t) under the straight-through transfer distribution. Unlike
+    # w_rec (teacher-forced) this directly biases the transfer decode toward
+    # emitting source tokens; style CE still flips the style-word positions.
+    # No reference equivalent — content-preservation lever.
 
     # derived paths
     @property

@@ -119,6 +119,7 @@ def make_optimize_steps(cfg: Config, models: OptimizeModels):
     tau, gap = cfg.tau, cfg.gap
     w_s, w_c, w_adv, w_bt = cfg.w_s, cfg.w_c, cfg.w_adv, cfg.w_bt
     w_rec = cfg.w_rec
+    w_copy = cfg.w_copy
 
     from .common import generator_call
 
@@ -163,6 +164,21 @@ def make_optimize_steps(cfg: Config, models: OptimizeModels):
                 rec_loss = softmax_cross_entropy_tokens(rec_logits, batch["x"])
                 total = total + w_rec * rec_loss
                 aux["REC"] = rec_loss
+            if w_copy > 0:
+                # copy regularization (Config.w_copy): NLL of the SOURCE
+                # tokens under the free-running transfer distribution
+                # sample_p (soft temperature-softmax probs; the ST hard
+                # sample only feeds the decoder input). Unlike w_rec this
+                # penalizes the transfer decode itself for drifting off the
+                # source content; the style CE still dominates at the
+                # style-word positions. Same no-mask mean-over-B*L
+                # convention as the reference losses.
+                L = min(sample_p.shape[1], batch["x"].shape[1])
+                p_src = jnp.take_along_axis(
+                    sample_p[:, :L], batch["x"][:, :L, None], axis=-1)[..., 0]
+                copy_loss = -jnp.mean(jnp.log(p_src + 1e-9))
+                total = total + w_copy * copy_loss
+                aux["COPY"] = copy_loss
             aux["loss"] = total
             return total, (aux, sample_p)
 
