@@ -36,9 +36,15 @@ VARIANTS = [
     ("cp_base", "lstm", []),                     # long-warmup control
     ("cp_rec1", "lstm", ["w_rec=1.0"]),
     ("cp_rec1_rp", "lstm", ["w_rec=1.0", "rep_penalty=0.5"]),
-    ("cp_rec3_c1", "lstm", ["w_rec=3.0", "w_c=1.0", "rep_penalty=0.5"]),
+    # w_rec (teacher-forced) measured ineffective: CP 0.504/0.498/0.515
+    # across w_rec 0/1/1+rp. Round-2b lever: w_copy — NLL of the source
+    # under the FREE-RUNNING transfer distribution (train/optimize.py).
+    ("cp_copy03", "lstm", ["w_copy=0.3"]),
+    ("cp_copy1", "lstm", ["w_copy=1.0"]),
+    ("cp_copy3", "lstm", ["w_copy=3.0"]),
+    ("cp_copy1_rp", "lstm", ["w_copy=1.0", "rep_penalty=0.5"]),
     ("cp_rec1_s005", "lstm", ["w_rec=1.0", "w_s=0.05"]),
-    ("cptr_rec1", "transformer", ["w_rec=1.0"]),
+    ("cptr_copy1", "transformer", ["w_copy=1.0"]),
 ]
 
 
