@@ -39,6 +39,18 @@ def _parse_line(line: str) -> tuple[str, str] | None:
     return head.strip(), text.strip()
 
 
+def _parse_line_multi(line: str) -> tuple[set[str], str]:
+    """Parse a fasttext line with any number of leading ``__label__`` tokens
+    (tab- or space-separated), returning (gold label set, text)."""
+    parts = line.rstrip("\n").replace("\t", " ").split(" ")
+    golds: set[str] = set()
+    i = 0
+    while i < len(parts) and parts[i].startswith("__label__"):
+        golds.add(parts[i])
+        i += 1
+    return golds, " ".join(parts[i:]).strip()
+
+
 def _tokens(text: str) -> list[str]:
     return text.split() + [EOS_WORD]
 
@@ -155,19 +167,22 @@ class FastTextClassifier:
         return tuple(self.labels[i] for i in order), probs[order]
 
     def test(self, path: str) -> tuple[int, float, float]:
-        """fasttext ``model.test``: (N, P@1, R@1)."""
-        n, correct = 0, 0
+        """fasttext ``model.test``: (N, P@1, R@1) with fasttext's actual
+        semantics — P@1 = correct predictions / N, R@1 = correct
+        predictions / total gold labels. Lines may carry MULTIPLE leading
+        ``__label__`` tokens (the fasttext file format allows it); the two
+        numbers only coincide for single-label data."""
+        n, correct, gold_total = 0, 0, 0
         with open(path, "r", encoding="utf-8") as f:
             for line in f:
-                parsed = _parse_line(line)
-                if not parsed:
+                golds, text = _parse_line_multi(line)
+                if not golds:
                     continue
-                gold, text = parsed
                 pred, _ = self.predict(text, k=1)
                 n += 1
-                correct += int(pred[0] == gold)
-        p = correct / max(n, 1)
-        return n, p, p
+                gold_total += len(golds)
+                correct += int(pred[0] in golds)
+        return n, correct / max(n, 1), correct / max(gold_total, 1)
 
     # --------------------------------------------------------------------- io
     def save_model(self, path: str) -> None:

@@ -80,6 +80,33 @@ def test_fasttext_classifier_learns(styled_corpus, tmp_path):
     assert m2.predict("service felt amazing .", k=1)[0][0] == "__label__1"
 
 
+def test_fasttext_test_multilabel_pr(styled_corpus, tmp_path):
+    """fasttext ``model.test`` semantics: P@1 = correct/N, R@1 =
+    correct/total-gold — equal on single-label files, DIFFERENT when lines
+    carry multiple ``__label__`` tokens."""
+    from consistent__style_transfer_tpu.text.fasttext_cls import FastTextClassifier
+
+    labels, texts = [], []
+    for lab in (0, 1):
+        for line in open(f"{styled_corpus}/style.train.{lab}"):
+            labels.append(f"__label__{lab}")
+            texts.append(line.strip())
+    model = FastTextClassifier(epochs=8).fit(texts, labels)
+
+    single = tmp_path / "single.txt"
+    single.write_text("".join(f"{l}\t{t}\n" for l, t in zip(labels, texts)))
+    n, p, r = model.test(str(single))
+    assert n == len(texts) and p == r  # single-label: P@1 == R@1
+
+    # every line tagged with BOTH labels: any prediction is correct
+    # (P@1 = 1.0) but only half the gold labels are retrieved (R@1 = 0.5)
+    multi = tmp_path / "multi.txt"
+    multi.write_text(
+        "".join(f"__label__0 __label__1 {t}\n" for t in texts))
+    n, p, r = model.test(str(multi))
+    assert n == len(texts) and p == 1.0 and abs(r - 0.5) < 1e-9
+
+
 def test_sti_math():
     from consistent__style_transfer_tpu.evaluate.intensity import (
         direction_corrected_emd,
