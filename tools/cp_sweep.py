@@ -45,6 +45,9 @@ VARIANTS = [
     ("cp_copy1_rp", "lstm", ["w_copy=1.0", "rep_penalty=0.5"]),
     ("cp_rec1_s005", "lstm", ["w_rec=1.0", "w_s=0.05"]),
     ("cptr_copy1", "transformer", ["w_copy=1.0"]),
+    # bf16 A/B vs cp_base (VERDICT r1 item 9): same recipe, compute dtype
+    # flipped — quality-neutral => flip the bench/pipeline default.
+    ("cp_base_bf16", "lstm", ["dtype=bfloat16"]),
 ]
 
 
