@@ -90,6 +90,10 @@ class Config:
     # w_rec (teacher-forced) this directly biases the transfer decode toward
     # emitting source tokens; style CE still flips the style-word positions.
     # No reference equivalent — content-preservation lever.
+    copy_mask: bool = True  # style-aware w_copy: weight each position by the
+    # source token's style-neutrality (data/style_weights.py) so copy
+    # pressure skips style-bearing words. Uniform copy measurably collapses
+    # transfer accuracy (RESULTS.md cp_copy03: ACC 0.97 -> 0.47).
 
     # derived paths
     @property

@@ -70,10 +70,8 @@ def optimize_step_on_mesh(n_data: int, n_model: int, *, vocab: int = 256,
 
     g_state = TrainState.create(g_params, adam_with_clip(1e-5, 1.0))
     d_state = TrainState.create(d_params, adam_with_clip(1e-5, 1.0))
-    (g_step, d_grads, _d_grads_reuse, d_apply, _accumulate,
-     val_step) = make_optimize_steps(cfg, models)
+    steps = make_optimize_steps(cfg, models)
 
-    rngs = {"dropout": jax.random.PRNGKey(1), "coin": jax.random.PRNGKey(2)}
     data = shard_batch(
         {
             "x": np.random.RandomState(0).randint(0, V, (B, L)).astype(np.int32),
@@ -81,10 +79,13 @@ def optimize_step_on_mesh(n_data: int, n_model: int, *, vocab: int = 256,
         },
         mesh,
     )
-    g_state, aux, _fake = g_step(g_state, d_state.params, frozen, data, rngs)
-    grads, d_loss = d_grads(d_state.params, g_state.params, data, rngs)
-    d_state = d_apply(d_state, grads)
-    val = val_step(g_state.params, frozen, data)
+    # the production per-batch entry: fused G update + D grads + D apply
+    acc = jax.tree.map(jnp.zeros_like, d_state.params)
+    key = jax.random.PRNGKey(1)
+    g_state, d_state, acc, aux, d_loss = steps.fused_step(
+        g_state, d_state, acc, frozen, data, key,
+        jax.random.fold_in(key, 1), 0, do_apply=True)
+    val = steps.val_step(g_state.params, frozen, data)
     # materialize everything (raises on any sharding/compile failure)
     jax.block_until_ready((aux, d_loss, val))
     return {

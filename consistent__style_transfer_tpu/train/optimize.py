@@ -32,6 +32,8 @@ inside one XLA program, so a whole G step is a single device launch.
 from __future__ import annotations
 
 import os
+from functools import partial
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -52,7 +54,6 @@ from .common import (
     get_corpus,
     get_mesh,
     get_tokenizer,
-    step_rngs,
 )
 from .infer import run_inference
 from .loop import EarlyStopper, Throughput
@@ -113,13 +114,35 @@ def load_generator_params(cfg: Config, models: OptimizeModels, key):
     return template
 
 
-def make_optimize_steps(cfg: Config, models: OptimizeModels):
+class OptimizeSteps(NamedTuple):
+    """Jitted step functions for the optimize stage. ``fused_step`` is the
+    production per-batch entry (ONE dispatch per batch: G update + D grads +
+    accumulate + cond D apply, RNG folding inside the jit); the individual
+    pieces remain for tests, the mesh exercise, and ablation of the fusion."""
+
+    g_step: callable
+    d_grads: callable
+    d_grads_reuse: callable
+    d_apply: callable
+    accumulate: callable
+    val_step: callable
+    fused_step: callable
+
+
+def make_optimize_steps(cfg: Config, models: OptimizeModels,
+                        copy_weights=None) -> OptimizeSteps:
+    """``copy_weights``: optional (V,) style-neutrality weights
+    (``data/style_weights.py``) applied to the w_copy regularizer so copy
+    pressure skips style-bearing tokens; None = uniform."""
     G, CLS, MAT, NT, D = (models.generator, models.classifier, models.matcher,
                           models.nt_checker, models.disc)
+    if copy_weights is not None:
+        copy_weights = jnp.asarray(copy_weights, jnp.float32)
     tau, gap = cfg.tau, cfg.gap
     w_s, w_c, w_adv, w_bt = cfg.w_s, cfg.w_c, cfg.w_adv, cfg.w_bt
     w_rec = cfg.w_rec
     w_copy = cfg.w_copy
+    fuse_gan = cfg.fuse_gan_steps
 
     from .common import generator_call
 
@@ -128,62 +151,71 @@ def make_optimize_steps(cfg: Config, models: OptimizeModels):
                               1 - batch["labels"], mode="st", tau=tau,
                               deterministic=deterministic, rngs=rngs)
 
+    def g_loss_fn(g_params, d_params, frozen, batch, rngs):
+        sample_p = st_decode(g_params, batch, rngs, deterministic=False)
+        s_logits = CLS.apply(frozen["cls"], sample_p, deterministic=False,
+                             rngs=rngs)
+        c_logits = MAT.apply(frozen["mat"], sample_p, batch["x"],
+                             deterministic=False, rngs=rngs)
+        adv_logits = D.apply(d_params, sample_p, deterministic=True)
+        bk_logits = generator_call(
+            G, g_params, jax.lax.stop_gradient(jnp.argmax(sample_p, -1)),
+            1 - batch["labels"], batch["x"], batch["labels"],
+            mode="sched", deterministic=False, rngs=rngs,
+        )
+        s_loss = cross_entropy(s_logits, 1 - batch["labels"])
+        c_loss = mse(c_logits, jnp.full_like(c_logits, gap))
+        adv_loss = bce_with_logits(adv_logits, jnp.ones_like(adv_logits))
+        bk_loss = softmax_cross_entropy_tokens(bk_logits, batch["x"])
+        total = w_bt * bk_loss + w_c * c_loss + w_adv * adv_loss + w_s * s_loss
+        aux = {"G": adv_loss, "STI": s_loss, "CP": jnp.mean(c_logits),
+               "BK": bk_loss}
+        if w_rec > 0:
+            # copy bias (Config.w_rec): same-style teacher-forced
+            # reconstruction CE — anchors the generator to its input
+            # content while the 4 reference losses push the transfer
+            rec_logits = generator_call(
+                G, g_params, batch["x"], batch["labels"], batch["x"],
+                batch["labels"], mode="sched", deterministic=False,
+                rngs=rngs)
+            rec_loss = softmax_cross_entropy_tokens(rec_logits, batch["x"])
+            total = total + w_rec * rec_loss
+            aux["REC"] = rec_loss
+        if w_copy > 0:
+            # copy regularization (Config.w_copy): NLL of the SOURCE
+            # tokens under the free-running transfer distribution
+            # sample_p (soft temperature-softmax probs; the ST hard
+            # sample only feeds the decoder input). Unlike w_rec this
+            # penalizes the transfer decode itself for drifting off the
+            # source content; the style CE still dominates at the
+            # style-word positions. Same no-mask mean-over-B*L
+            # convention as the reference losses.
+            L = min(sample_p.shape[1], batch["x"].shape[1])
+            src = batch["x"][:, :L]
+            p_src = jnp.take_along_axis(
+                sample_p[:, :L], src[:, :, None], axis=-1)[..., 0]
+            nll = -jnp.log(p_src + 1e-9)
+            if copy_weights is None:
+                copy_loss = jnp.mean(nll)
+            else:
+                # style-aware masking: weight each position by the source
+                # token's style-neutrality so copy pressure leaves the
+                # style-bearing positions to the style CE
+                w = copy_weights[src]
+                copy_loss = jnp.sum(w * nll) / jnp.maximum(jnp.sum(w), 1e-6)
+            total = total + w_copy * copy_loss
+            aux["COPY"] = copy_loss
+        aux["loss"] = total
+        return total, (aux, sample_p)
+
     @jax.jit
     def g_step(g_state: TrainState, d_params, frozen, batch, rngs):
         """Returns (new state, aux metrics, stop-gradient fake decode). The
         fake decode is reusable by the D step when Config.fuse_gan_steps is
         on (saves a third rollout per batch; the reference recomputes it)."""
-
-        def loss_fn(g_params):
-            sample_p = st_decode(g_params, batch, rngs, deterministic=False)
-            s_logits = CLS.apply(frozen["cls"], sample_p, deterministic=False,
-                                 rngs=rngs)
-            c_logits = MAT.apply(frozen["mat"], sample_p, batch["x"],
-                                 deterministic=False, rngs=rngs)
-            adv_logits = D.apply(d_params, sample_p, deterministic=True)
-            bk_logits = generator_call(
-                G, g_params, jax.lax.stop_gradient(jnp.argmax(sample_p, -1)),
-                1 - batch["labels"], batch["x"], batch["labels"],
-                mode="sched", deterministic=False, rngs=rngs,
-            )
-            s_loss = cross_entropy(s_logits, 1 - batch["labels"])
-            c_loss = mse(c_logits, jnp.full_like(c_logits, gap))
-            adv_loss = bce_with_logits(adv_logits, jnp.ones_like(adv_logits))
-            bk_loss = softmax_cross_entropy_tokens(bk_logits, batch["x"])
-            total = w_bt * bk_loss + w_c * c_loss + w_adv * adv_loss + w_s * s_loss
-            aux = {"G": adv_loss, "STI": s_loss, "CP": jnp.mean(c_logits),
-                   "BK": bk_loss}
-            if w_rec > 0:
-                # copy bias (Config.w_rec): same-style teacher-forced
-                # reconstruction CE — anchors the generator to its input
-                # content while the 4 reference losses push the transfer
-                rec_logits = generator_call(
-                    G, g_params, batch["x"], batch["labels"], batch["x"],
-                    batch["labels"], mode="sched", deterministic=False,
-                    rngs=rngs)
-                rec_loss = softmax_cross_entropy_tokens(rec_logits, batch["x"])
-                total = total + w_rec * rec_loss
-                aux["REC"] = rec_loss
-            if w_copy > 0:
-                # copy regularization (Config.w_copy): NLL of the SOURCE
-                # tokens under the free-running transfer distribution
-                # sample_p (soft temperature-softmax probs; the ST hard
-                # sample only feeds the decoder input). Unlike w_rec this
-                # penalizes the transfer decode itself for drifting off the
-                # source content; the style CE still dominates at the
-                # style-word positions. Same no-mask mean-over-B*L
-                # convention as the reference losses.
-                L = min(sample_p.shape[1], batch["x"].shape[1])
-                p_src = jnp.take_along_axis(
-                    sample_p[:, :L], batch["x"][:, :L, None], axis=-1)[..., 0]
-                copy_loss = -jnp.mean(jnp.log(p_src + 1e-9))
-                total = total + w_copy * copy_loss
-                aux["COPY"] = copy_loss
-            aux["loss"] = total
-            return total, (aux, sample_p)
-
         (_, (aux, sample_p)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(g_state.params)
+            g_loss_fn, has_aux=True)(g_state.params, d_params, frozen, batch,
+                                     rngs)
         return (g_state.apply_gradients(grads), aux,
                 jax.lax.stop_gradient(sample_p))
 
@@ -230,7 +262,46 @@ def make_optimize_steps(cfg: Config, models: OptimizeModels):
         nt_loss = softmax_cross_entropy_tokens(nt_logits, tokens)
         return nt_loss + s_loss + jnp.mean(c_logits)
 
-    return g_step, d_grads, d_grads_reuse, d_apply, accumulate, val_step
+    def _mk_rngs(base_key, step):
+        # exact reproduction of train.common.step_rngs, traced inside the jit
+        key = jax.random.fold_in(base_key, step)
+        ks = jax.random.split(key, 2)
+        return {"dropout": ks[0], "coin": ks[1]}
+
+    @partial(jax.jit, static_argnames=("do_apply",))
+    def fused_step(g_state: TrainState, d_state: TrainState, acc, frozen,
+                   batch, base_key, d_base, step, do_apply: bool):
+        """One dispatch per training batch: G update, D grads (fresh decode
+        or reuse per Config.fuse_gan_steps), grad accumulation, and — when
+        ``do_apply`` (every Config.d_update_every-th batch) — the D apply +
+        accumulator reset. Semantics identical to calling the individual
+        steps in the reference order (G first, then D against the UPDATED
+        generator, ``main_optimize.py:78-88``); RNG derivation matches
+        ``step_rngs(key, step)`` / ``step_rngs(fold_in(key, 1), step)``
+        exactly, so training trajectories are unchanged. Dispatch count per
+        batch drops ~10x -> ~1x, which matters on hosts where per-dispatch
+        latency is high (e.g. tunneled devices)."""
+        g_rngs = _mk_rngs(base_key, step)
+        (_, (aux, sample_p)), grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True)(g_state.params, d_state.params, frozen,
+                                     batch, g_rngs)
+        g_state = g_state.apply_gradients(grads)
+        d_rngs = _mk_rngs(d_base, step)
+        if fuse_gan:
+            fake_p = jax.lax.stop_gradient(sample_p)
+        else:
+            fake_p = jax.lax.stop_gradient(
+                st_decode(g_state.params, batch, d_rngs, deterministic=False))
+        d_loss, dgrads = jax.value_and_grad(_d_loss_fn)(
+            d_state.params, fake_p, batch, d_rngs)
+        acc = jax.tree.map(jnp.add, acc, dgrads)
+        if do_apply:
+            d_state = d_state.apply_gradients(acc)
+            acc = jax.tree.map(jnp.zeros_like, acc)
+        return g_state, d_state, acc, aux, d_loss
+
+    return OptimizeSteps(g_step, d_grads, d_grads_reuse, d_apply, accumulate,
+                         val_step, fused_step)
 
 
 def run_optimize(cfg: Config, progress: bool = True,
@@ -267,8 +338,13 @@ def run_optimize(cfg: Config, progress: bool = True,
     dev_it = make_batches(dev_corpus, cfg.batch_size, cfg.max_len, "optimize",
                           shuffle=False, seed=cfg.seed)
 
-    (g_step, d_grads, d_grads_reuse, d_apply, accumulate,
-     val_step) = make_optimize_steps(cfg, models)
+    copy_weights = None
+    if cfg.w_copy > 0 and cfg.copy_mask:
+        from ..data.style_weights import style_neutrality_weights
+
+        copy_weights = style_neutrality_weights(train_corpus, V)
+    steps = make_optimize_steps(cfg, models, copy_weights=copy_weights)
+    fused_step, val_step = steps.fused_step, steps.val_step
     logger = RunLogger(f"{cfg.log_dir}/{cfg.dataset}", "optimize", cfg.ver, config=cfg)
     stopper = EarlyStopper(cfg.optimize_patience)
     keeper = BestKeeper("min")
@@ -298,23 +374,15 @@ def run_optimize(cfg: Config, progress: bool = True,
             keeper.best = float(restored["best"])
             stopper.best = keeper.best
 
-    zero_grads = jax.tree.map(jnp.zeros_like, d_state.params)
-    acc = zero_grads
+    acc = jax.tree.map(jnp.zeros_like, d_state.params)
+    d_base = jax.random.fold_in(key, 1)
     step = 0
     for epoch in range(start_epoch, cfg.epochs):
         ep_thru = Throughput()
         for batch_idx, (batch, arrays) in enumerate(DevicePrefetcher(train_it, mesh)):
-            g_state, aux, fake_p = g_step(g_state, d_state.params, frozen,
-                                          arrays, step_rngs(key, step))
-            d_rngs = step_rngs(jax.random.fold_in(key, 1), step)
-            if cfg.fuse_gan_steps:
-                grads, d_loss = d_grads_reuse(d_state.params, fake_p, arrays, d_rngs)
-            else:
-                grads, d_loss = d_grads(d_state.params, g_state.params, arrays, d_rngs)
-            acc = accumulate(acc, grads)
-            if batch_idx % cfg.d_update_every == 0:
-                d_state = d_apply(d_state, acc)
-                acc = zero_grads
+            g_state, d_state, acc, aux, d_loss = fused_step(
+                g_state, d_state, acc, frozen, arrays, key, d_base, step,
+                do_apply=(batch_idx % cfg.d_update_every == 0))
             thru.add(cfg.batch_size)
             ep_thru.add(cfg.batch_size)
             if step % 20 == 0:

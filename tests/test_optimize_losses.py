@@ -44,7 +44,7 @@ def setup():
 
 def _run_g_step(cfg, models, frozen, g_params, d_params, batch):
     g_state = TrainState.create(g_params, adam_with_clip(1e-4, 1.0))
-    g_step = make_optimize_steps(cfg, models)[0]
+    g_step = make_optimize_steps(cfg, models).g_step
     new_state, aux, fake_p = g_step(g_state, d_params, frozen, batch,
                                     step_rngs(jax.random.PRNGKey(7), 0))
     return new_state, {k: float(v) for k, v in aux.items()}, fake_p
@@ -72,6 +72,91 @@ def test_copy_loss_finite_and_grads_flow(setup):
     assert any(
         not jnp.allclose(a, b) for a, b in zip(leaves_old, leaves_new)
     )
+
+
+def test_fused_step_matches_individual_steps(setup):
+    """fused_step (production: one dispatch per batch) must reproduce the
+    individual g_step -> d_grads -> accumulate -> d_apply sequence exactly —
+    same RNG derivation, same G-then-updated-D ordering."""
+    cfg, models, frozen, g_params, d_params, batch = setup
+    cfg.w_rec, cfg.w_copy = 0.0, 0.0
+    steps = make_optimize_steps(cfg, models)
+    key = jax.random.PRNGKey(11)
+    opt = adam_with_clip(1e-4, 1.0)
+
+    # individual path (step index 0, D applied)
+    g1 = TrainState.create(g_params, opt)
+    d1 = TrainState.create(d_params, opt)
+    g1, aux1, _ = steps.g_step(g1, d1.params, frozen, batch,
+                               step_rngs(key, 0))
+    grads, dloss1 = steps.d_grads(d1.params, g1.params, batch,
+                                  step_rngs(jax.random.fold_in(key, 1), 0))
+    acc1 = steps.accumulate(jax.tree.map(jnp.zeros_like, d1.params), grads)
+    d1 = steps.d_apply(d1, acc1)
+
+    # fused path, same keys
+    g2 = TrainState.create(g_params, opt)
+    d2 = TrainState.create(d_params, opt)
+    acc0 = jax.tree.map(jnp.zeros_like, d2.params)
+    g2, d2, acc2, aux2, dloss2 = steps.fused_step(
+        g2, d2, acc0, frozen, batch, key, jax.random.fold_in(key, 1), 0,
+        do_apply=True)
+
+    assert abs(float(aux1["loss"]) - float(aux2["loss"])) < 1e-5
+    assert abs(float(dloss1) - float(dloss2)) < 1e-5
+    for a, b in zip(jax.tree.leaves(g1.params), jax.tree.leaves(g2.params)):
+        assert jnp.allclose(a, b, atol=1e-6), "G params diverge"
+    for a, b in zip(jax.tree.leaves(d1.params), jax.tree.leaves(d2.params)):
+        assert jnp.allclose(a, b, atol=1e-6), "D params diverge"
+    # accumulator was reset after the apply
+    assert all(float(jnp.abs(x).max()) == 0.0 for x in jax.tree.leaves(acc2))
+
+
+def test_style_neutrality_weights():
+    import numpy as np
+
+    from consistent__style_transfer_tpu.data.corpus import StyleCorpus
+    from consistent__style_transfer_tpu.data.style_weights import (
+        style_neutrality_weights,
+    )
+
+    # token 10 only in style 0; token 11 balanced; token 12 unseen
+    corpus = StyleCorpus(
+        sentences=[[10, 11], [10, 11, 10], [11], [11]],
+        labels=np.array([0, 0, 1, 1], np.int32),
+    )
+    w = style_neutrality_weights(corpus, 20, alpha=0.1)
+    assert w.shape == (20,)
+    assert w[11] > 0.9          # balanced -> near 1
+    assert w[10] < 0.2          # style-0-only -> near 0
+    assert w[12] == 1.0         # unseen -> neutral
+    assert all(w[:3] == 1.0)    # specials neutral
+
+
+def test_masked_copy_loss_downweights_style_tokens(setup):
+    cfg, models, frozen, g_params, d_params, batch = setup
+    cfg.w_rec, cfg.w_copy = 0.0, 1.0
+    import numpy as np
+
+    g_state = TrainState.create(g_params, adam_with_clip(1e-4, 1.0))
+    rngs = step_rngs(jax.random.PRNGKey(7), 0)
+
+    uniform = make_optimize_steps(cfg, models)
+    _, aux_u, _ = uniform.g_step(g_state, d_params, frozen, batch, rngs)
+
+    w = np.ones(V, np.float32)
+    masked = make_optimize_steps(cfg, models, copy_weights=w)
+    _, aux_m, _ = masked.g_step(g_state, d_params, frozen, batch, rngs)
+    # all-ones weights == uniform mean
+    assert abs(float(aux_u["COPY"]) - float(aux_m["COPY"])) < 1e-5
+
+    # zeroing the weight of the first batch row's tokens changes the loss
+    w2 = np.ones(V, np.float32)
+    w2[np.asarray(batch["x"][0])] = 0.0
+    masked2 = make_optimize_steps(cfg, models, copy_weights=w2)
+    _, aux_m2, _ = masked2.g_step(g_state, d_params, frozen, batch, rngs)
+    assert jnp.isfinite(aux_m2["COPY"])
+    assert abs(float(aux_m2["COPY"]) - float(aux_u["COPY"])) > 1e-6
 
 
 def test_copy_loss_rewards_copying(setup):

@@ -39,15 +39,19 @@ VARIANTS = [
     # w_rec (teacher-forced) measured ineffective: CP 0.504/0.498/0.515
     # across w_rec 0/1/1+rp. Round-2b lever: w_copy — NLL of the source
     # under the FREE-RUNNING transfer distribution (train/optimize.py).
-    ("cp_copy03", "lstm", ["w_copy=0.3"]),
-    ("cp_copy1", "lstm", ["w_copy=1.0"]),
-    ("cp_copy3", "lstm", ["w_copy=3.0"]),
-    ("cp_copy1_rp", "lstm", ["w_copy=1.0", "rep_penalty=0.5"]),
-    ("cp_rec1_s005", "lstm", ["w_rec=1.0", "w_s=0.05"]),
-    ("cptr_copy1", "transformer", ["w_copy=1.0"]),
+    # UNIFORM copy (copy_mask=0) collapses ACC (cp_copy03: 0.47) because it
+    # also pins style words; the masked variants below weight the copy NLL
+    # by per-token style-neutrality (data/style_weights.py).
+    ("cp_copy03", "lstm", ["w_copy=0.3", "copy_mask=0"]),
+    ("cp_copy1", "lstm", ["w_copy=1.0", "copy_mask=0"]),
+    ("cp_copym03", "lstm", ["w_copy=0.3"]),
+    ("cp_copym1", "lstm", ["w_copy=1.0"]),
+    ("cp_copym3", "lstm", ["w_copy=3.0"]),
+    ("cp_copym1_rp", "lstm", ["w_copy=1.0", "rep_penalty=0.5"]),
     # bf16 A/B vs cp_base (VERDICT r1 item 9): same recipe, compute dtype
     # flipped — quality-neutral => flip the bench/pipeline default.
     ("cp_base_bf16", "lstm", ["dtype=bfloat16"]),
+    ("cptr_copym1", "transformer", ["w_copy=1.0"]),
 ]
 
 
