@@ -21,20 +21,36 @@ import os
 import numpy as np
 
 
-def noisify(tokens: list[str], rng: np.random.Generator) -> list[str]:
+def noisify(tokens: list[str], rng: np.random.Generator,
+            n_ops: int = 1) -> list[str]:
     toks = list(tokens)
-    op = rng.integers(0, 4)
-    if len(toks) < 3:
-        return toks
-    i = int(rng.integers(0, len(toks) - 1))
-    if op == 0:  # drop one token
-        del toks[i]
-    elif op == 1:  # duplicate one token
-        toks.insert(i, toks[i])
-    elif op == 2:  # swap two adjacent tokens
-        toks[i], toks[i + 1] = toks[i + 1], toks[i]
-    # op == 3: keep as-is
+    for _ in range(n_ops):
+        op = rng.integers(0, 4)
+        if len(toks) < 3:
+            return toks
+        i = int(rng.integers(0, len(toks) - 1))
+        if op == 0:  # drop one token
+            del toks[i]
+        elif op == 1:  # duplicate one token
+            toks.insert(i, toks[i])
+        elif op == 2:  # swap two adjacent tokens
+            toks[i], toks[i + 1] = toks[i + 1], toks[i]
+        # op == 3: keep as-is
     return toks
+
+
+def splice(a: list[str], b: list[str], rng: np.random.Generator) -> list[str]:
+    """Recombination: prefix of one same-style sentence + suffix of another.
+    Raises the corpus' content entropy far above per-sentence noise — novel
+    token sequences the DAE cannot memorize, so reconstruction training has
+    to learn actual copying (the content-preservation prior the reference
+    gets for free from ~270k real sentences per style)."""
+    if len(a) < 4 or len(b) < 4:
+        return a
+    ca = int(rng.integers(2, len(a) - 1))
+    cb = int(rng.integers(1, len(b) - 2))
+    out = a[:ca] + b[cb:]
+    return out[:30]  # stay inside dataset max_len territory
 
 
 def main() -> None:
@@ -43,6 +59,12 @@ def main() -> None:
     ap.add_argument("--src", default="/root/reference/data")
     ap.add_argument("--dst", default="data")
     ap.add_argument("--mult", type=int, default=8)
+    ap.add_argument("--recombine", type=float, default=0.0,
+                    help="fraction of generated copies built by splicing two "
+                         "same-style sentences (novel content) instead of "
+                         "noising one")
+    ap.add_argument("--noise_ops", type=int, default=1,
+                    help="noise ops applied per generated copy")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
     rng = np.random.default_rng(args.seed)
@@ -67,7 +89,12 @@ def main() -> None:
             out.append(line)  # keep the original once
             toks = line.split()
             for _ in range(args.mult - 1):
-                out.append(" ".join(noisify(toks, rng)))
+                if rng.random() < args.recombine:
+                    other = dev[int(rng.integers(0, len(dev)))].split()
+                    base = splice(toks, other, rng)
+                else:
+                    base = toks
+                out.append(" ".join(noisify(base, rng, args.noise_ops)))
         order = rng.permutation(len(out))
         train_path = os.path.join(dst_dir, f"style.train.{label}")
         with open(train_path, "w", encoding="utf-8") as f:
