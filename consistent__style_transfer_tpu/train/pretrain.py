@@ -42,7 +42,6 @@ from .common import (
     get_mesh,
     get_tokenizer,
     get_w2v,
-    step_rngs,
 )
 from .loop import EarlyStopper, Throughput
 from .state import TrainState, adam_with_clip, load_params, params_exist, save_params
@@ -70,7 +69,12 @@ def make_pretrain_steps(models: dict):
         return out
 
     @partial(jax.jit, static_argnames=("flags",))
-    def train_step(state: TrainState, batch, rngs, flags):
+    def train_step(state: TrainState, batch, base_key, step, flags):
+        # RNG folding traced inside the jit (one dispatch per batch; exact
+        # reproduction of step_rngs(key, step, ("dropout",)))
+        rngs = {"dropout": jax.random.split(
+            jax.random.fold_in(base_key, step), 1)[0]}
+
         def loss_fn(params):
             parts = losses(params, batch, rngs, flags, deterministic=False)
             total = sum(parts.values())
@@ -140,8 +144,7 @@ def run_pretrain(cfg: Config, progress: bool = True) -> dict[str, str]:
         if not any(ftuple):
             break
         for batch, arrays in DevicePrefetcher(train_it, mesh):
-            state, parts = train_step(state, arrays,
-                                      step_rngs(key, step, ("dropout",)), ftuple)
+            state, parts = train_step(state, arrays, key, step, ftuple)
             thru.add(cfg.batch_size)
             if step % 50 == 0:
                 logger.log(step, **{f"{t}_loss": v for t, v in parts.items()},

@@ -37,7 +37,13 @@ def make_warmup_steps(model):
     from .common import generator_call
 
     @jax.jit
-    def train_step(state: TrainState, batch, rngs):
+    def train_step(state: TrainState, batch, base_key, step):
+        # RNG folding traced inside the jit (one dispatch per batch; exact
+        # reproduction of step_rngs(base_key, step))
+        k = jax.random.fold_in(base_key, step)
+        ks = jax.random.split(k, 2)
+        rngs = {"dropout": ks[0], "coin": ks[1]}
+
         def loss_fn(params):
             logits = generator_call(
                 model, params, batch["nx"], batch["labels"], batch["x"],
@@ -92,7 +98,7 @@ def run_warmup(cfg: Config, progress: bool = True) -> str:
     step = 0
     for epoch in range(cfg.warmup_epochs):
         for batch, arrays in DevicePrefetcher(train_it, mesh):
-            state, loss = train_step(state, arrays, step_rngs(key, step))
+            state, loss = train_step(state, arrays, key, step)
             thru.add(bs)
             if step % 50 == 0:
                 logger.log(step, dn_loss=loss, **thru.rates())

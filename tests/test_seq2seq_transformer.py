@@ -113,8 +113,7 @@ def test_backbone_dispatch_in_drivers(setup, tiny_corpus, tmp_path):
     train_step, eval_step = make_warmup_steps(model)
     batch = {"nx": np.asarray(x), "x": np.asarray(x),
              "labels": np.asarray(labels)}
-    rngs = {"dropout": jax.random.PRNGKey(1), "coin": jax.random.PRNGKey(2)}
-    state, loss = train_step(state, batch, rngs)
+    state, loss = train_step(state, batch, jax.random.PRNGKey(1), 0)
     assert np.isfinite(float(loss))
     ids = generator_call(model, state.params, x, labels, None, 1 - labels,
                          mode="greedy", deterministic=True)

@@ -69,7 +69,7 @@ def test_warmup_loss_decreases(tiny_corpus, tmp_path):
     for _ in range(12):
         for batch in it:
             state, loss = train_step(state, shard_batch(batch.arrays, mesh),
-                                     step_rngs(key, step))
+                                     key, step)
             losses.append(float(loss))
             step += 1
     assert np.mean(losses[-3:]) < 0.7 * np.mean(losses[:3])
