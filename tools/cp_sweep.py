@@ -48,6 +48,9 @@ VARIANTS = [
     ("cp_copym1", "lstm", ["w_copy=1.0"]),
     ("cp_copym3", "lstm", ["w_copy=3.0"]),
     ("cp_copym1_rp", "lstm", ["w_copy=1.0", "rep_penalty=0.5"]),
+    # best-balance point + decode repetition penalty (degeneration is what
+    # keeps masked-WMD CP at ~0.49 even when structure copies)
+    ("cp_copym03_rp", "lstm", ["w_copy=0.3", "rep_penalty=0.5"]),
     # bf16 A/B vs cp_base (VERDICT r1 item 9): same recipe, compute dtype
     # flipped — quality-neutral => flip the bench/pipeline default.
     ("cp_base_bf16", "lstm", ["dtype=bfloat16"]),
