@@ -123,7 +123,11 @@ def main() -> None:
     g_state = TrainState.create(g_params, adam_with_clip(cfg.optimize_lr, cfg.optimize_clip))
     d_state = TrainState.create(d_params, adam_with_clip(cfg.optimize_lr, cfg.optimize_clip))
 
-    g_step, d_grads, _d_reuse, d_apply, _acc, _val = make_optimize_steps(cfg, models)
+    # TPUST_BENCH_FUSED=1 additionally reuses the G-step's fake decode for
+    # the D step (Config.fuse_gan_steps); the fused single-dispatch batch
+    # step is the production path either way (train/optimize.py fused_step)
+    cfg.fuse_gan_steps = os.environ.get("TPUST_BENCH_FUSED", "0") == "1"
+    steps = make_optimize_steps(cfg, models)
 
     import jax.numpy as jnp  # noqa: F811
 
@@ -137,17 +141,14 @@ def main() -> None:
         "x": rng.integers(0, V, (B, L)).astype(np.int32),
         "labels": rng.integers(0, 2, (B,)).astype(np.int32),
     }, mesh)
-    rngs = {"dropout": jax.random.PRNGKey(1), "coin": jax.random.PRNGKey(2)}
+    bench_key = jax.random.PRNGKey(1)
+    d_base = jax.random.fold_in(bench_key, 1)
+    acc0 = jax.tree.map(jnp.zeros_like, d_state.params)
 
-    fused = os.environ.get("TPUST_BENCH_FUSED", "0") == "1"
-
-    def one_iter(g_state, d_state):
-        g_state, aux, fake = g_step(g_state, d_state.params, frozen, batch, rngs)
-        if fused:  # Config.fuse_gan_steps path: reuse the G-step's fake decode
-            grads, _ = _d_reuse(d_state.params, fake, batch, rngs)
-        else:
-            grads, _ = d_grads(d_state.params, g_state.params, batch, rngs)
-        d_state = d_apply(d_state, grads)
+    def one_iter(g_state, d_state, step):
+        g_state, d_state, _, aux, d_loss = steps.fused_step(
+            g_state, d_state, acc0, frozen, batch, bench_key, d_base, step,
+            do_apply=True)
         toks = decode(g_state.params, batch["x"], batch["labels"])
         return g_state, d_state, toks
 
@@ -161,14 +162,14 @@ def main() -> None:
     # compile + warm: the first step also changes opt_state layouts (host
     # init -> device outputs), which triggers one more compile on step 2, so
     # warm until steady state before timing
-    for _ in range(3):
-        g_state, d_state, toks = one_iter(g_state, d_state)
+    for i in range(3):
+        g_state, d_state, toks = one_iter(g_state, d_state, i)
     force((g_state.params, d_state.params, toks))
 
     iters = 20
     t0 = time.time()
-    for _ in range(iters):
-        g_state, d_state, toks = one_iter(g_state, d_state)
+    for i in range(iters):
+        g_state, d_state, toks = one_iter(g_state, d_state, 3 + i)
     force((g_state.params, d_state.params, toks))
     dt = time.time() - t0
     value = iters * B / dt / max(n_dev, 1)
