@@ -55,7 +55,7 @@ def measure_sustained() -> list[dict]:
         epochs=2,
         ver="bench",
     )
-    cfg.dtype = os.environ.get("TPUST_BENCH_DTYPE", cfg.dtype)
+    cfg.dtype = os.environ.get("TPUST_BENCH_DTYPE", "bfloat16")
     if not os.path.exists(cfg.train_files()[0]):
         return []
 
@@ -99,7 +99,10 @@ def main() -> None:
 
     V, B = 10000, 256
     cfg = make_config("yelp")  # max_len=18, batch 256
-    cfg.dtype = os.environ.get("TPUST_BENCH_DTYPE", cfg.dtype)  # bfloat16 opt-in
+    # bfloat16 is the bench default: measured quality-neutral on the full
+    # pipeline (RESULTS.md bf16 A/B: cp_base vs cp_base_bf16 within noise on
+    # all five metrics) and ~21% faster; TPUST_BENCH_DTYPE=float32 reverts
+    cfg.dtype = os.environ.get("TPUST_BENCH_DTYPE", "bfloat16")
     if os.environ.get("TPUST_BENCH_BATCH"):
         B = int(os.environ["TPUST_BENCH_BATCH"])
     n_dev = len(jax.devices())
