@@ -24,6 +24,9 @@ def cfg(tiny_corpus, tmp_path_factory):
     cfg.warmup_epochs = 1
     cfg.epochs = 1
     cfg.mesh.n_data = 2
+    # exercise the style-aware masked copy regularizer in the full pipeline
+    # (weights computed from the train corpus in run_optimize)
+    cfg.w_copy = 0.1
     return cfg
 
 
