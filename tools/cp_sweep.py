@@ -95,8 +95,16 @@ def main() -> None:
             "--vocab", str(args.vocab), "--backbone", backbone,
             "--ver", ver,
         ]
-        skips = ["pretrain"] if done_warmup else []
-        if backbone in done_warmup:
+        # skip stages whose artifacts already exist on disk (covers --only
+        # invocations where no cached variant populated done_warmup)
+        warm_name = ("G_transformer.msgpack" if backbone == "transformer"
+                     else "G.msgpack")
+        have_pretrain = os.path.exists(
+            f"{args.base}/dump/{args.dataset}/pretrain/cls.msgpack")
+        have_warmup = os.path.exists(
+            f"{args.base}/dump/{args.dataset}/warmup/{warm_name}")
+        skips = ["pretrain"] if (done_warmup or have_pretrain) else []
+        if backbone in done_warmup or have_warmup:
             skips.append("warmup")
         if skips:
             cmd += ["--skip", ",".join(skips)]
