@@ -76,6 +76,10 @@ def main() -> None:
 
     done_warmup = set()  # backbones whose pretrain+warmup already ran
     collated = {}
+    sweep_path = f"{args.base}/cp_sweep.json"
+    if os.path.exists(sweep_path):  # merge, don't clobber, on --only reruns
+        with open(sweep_path) as f:
+            collated = json.load(f)
     for ver, backbone, sets in VARIANTS:
         if only and ver not in only:
             continue
