@@ -37,3 +37,39 @@ def style_neutrality_weights(corpus: StyleCorpus, n_vocab: int,
     w[total == 0] = 1.0
     w[:3] = 1.0  # PAD/BOS/EOS carry no style
     return w.astype(np.float32)
+
+
+def mask_stats(corpus: StyleCorpus, weights: np.ndarray) -> dict:
+    """Diagnostic for choosing w_copy on a new corpus: how much style
+    exemption the mask actually provides. A flat mask (high freq-weighted
+    mean) means masked copy degenerates toward uniform copy — scale w_copy
+    down (RESULTS.md, book rcm03)."""
+    counts = np.zeros(len(weights))
+    for ids in corpus.sentences:
+        np.add.at(counts, ids, 1)
+    total = counts.sum()
+    return {
+        "freq_weighted_mean_neutrality": float((weights * counts).sum() / total),
+        "token_fraction_below_half": float(counts[weights < 0.5].sum() / total),
+    }
+
+
+def main() -> None:  # python -m consistent__style_transfer_tpu.data.style_weights <ds>
+    import json
+    import sys
+
+    from ..config import make_config
+    from ..train.common import get_corpus, get_tokenizer
+
+    cfg = make_config(sys.argv[1] if len(sys.argv) > 1 else "yelp")
+    for kv in sys.argv[2:]:  # e.g. data_dir=... dump_dir=...
+        k, v = kv.split("=", 1)
+        setattr(cfg, k, v)
+    tok = get_tokenizer(cfg)
+    corpus = get_corpus(cfg, "train", tok)
+    w = style_neutrality_weights(corpus, len(tok))
+    print(json.dumps(mask_stats(corpus, w)))
+
+
+if __name__ == "__main__":
+    main()
