@@ -90,6 +90,9 @@ class Config:
     # w_rec (teacher-forced) this directly biases the transfer decode toward
     # emitting source tokens; style CE still flips the style-word positions.
     # No reference equivalent — content-preservation lever.
+    w_copy_decay: float = 1.0  # per-epoch multiplier on w_copy (fused step's
+    # copy_scale): start with a strong copy anchor, decay so the style CE
+    # takes over late. 1.0 = constant.
     copy_mask: bool = True  # style-aware w_copy: weight each position by the
     # source token's style-neutrality (data/style_weights.py) so copy
     # pressure skips style-bearing words. Uniform copy measurably collapses

@@ -151,7 +151,7 @@ def make_optimize_steps(cfg: Config, models: OptimizeModels,
                               1 - batch["labels"], mode="st", tau=tau,
                               deterministic=deterministic, rngs=rngs)
 
-    def g_loss_fn(g_params, d_params, frozen, batch, rngs):
+    def g_loss_fn(g_params, d_params, frozen, batch, rngs, copy_scale=1.0):
         sample_p = st_decode(g_params, batch, rngs, deterministic=False)
         s_logits = CLS.apply(frozen["cls"], sample_p, deterministic=False,
                              rngs=rngs)
@@ -203,7 +203,7 @@ def make_optimize_steps(cfg: Config, models: OptimizeModels,
                 # style-bearing positions to the style CE
                 w = copy_weights[src]
                 copy_loss = jnp.sum(w * nll) / jnp.maximum(jnp.sum(w), 1e-6)
-            total = total + w_copy * copy_loss
+            total = total + w_copy * copy_scale * copy_loss
             aux["COPY"] = copy_loss
         aux["loss"] = total
         return total, (aux, sample_p)
@@ -270,7 +270,8 @@ def make_optimize_steps(cfg: Config, models: OptimizeModels,
 
     @partial(jax.jit, static_argnames=("do_apply",))
     def fused_step(g_state: TrainState, d_state: TrainState, acc, frozen,
-                   batch, base_key, d_base, step, do_apply: bool):
+                   batch, base_key, d_base, step, do_apply: bool,
+                   copy_scale=1.0):
         """One dispatch per training batch: G update, D grads (fresh decode
         or reuse per Config.fuse_gan_steps), grad accumulation, and — when
         ``do_apply`` (every Config.d_update_every-th batch) — the D apply +
@@ -284,7 +285,7 @@ def make_optimize_steps(cfg: Config, models: OptimizeModels,
         g_rngs = _mk_rngs(base_key, step)
         (_, (aux, sample_p)), grads = jax.value_and_grad(
             g_loss_fn, has_aux=True)(g_state.params, d_state.params, frozen,
-                                     batch, g_rngs)
+                                     batch, g_rngs, copy_scale)
         g_state = g_state.apply_gradients(grads)
         d_rngs = _mk_rngs(d_base, step)
         if fuse_gan:
@@ -379,10 +380,12 @@ def run_optimize(cfg: Config, progress: bool = True,
     step = 0
     for epoch in range(start_epoch, cfg.epochs):
         ep_thru = Throughput()
+        copy_scale = cfg.w_copy_decay ** epoch  # 1.0 unless decay configured
         for batch_idx, (batch, arrays) in enumerate(DevicePrefetcher(train_it, mesh)):
             g_state, d_state, acc, aux, d_loss = fused_step(
                 g_state, d_state, acc, frozen, arrays, key, d_base, step,
-                do_apply=(batch_idx % cfg.d_update_every == 0))
+                do_apply=(batch_idx % cfg.d_update_every == 0),
+                copy_scale=copy_scale)
             thru.add(cfg.batch_size)
             ep_thru.add(cfg.batch_size)
             if step % 20 == 0:

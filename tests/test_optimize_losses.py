@@ -159,6 +159,30 @@ def test_masked_copy_loss_downweights_style_tokens(setup):
     assert abs(float(aux_m2["COPY"]) - float(aux_u["COPY"])) > 1e-6
 
 
+def test_copy_scale_modulates_fused_loss(setup):
+    """fused_step's copy_scale (Config.w_copy_decay schedule) scales the
+    copy term's contribution to the total without touching other losses."""
+    cfg, models, frozen, g_params, d_params, batch = setup
+    cfg.w_rec, cfg.w_copy = 0.0, 1.0
+    steps = make_optimize_steps(cfg, models)
+    key = jax.random.PRNGKey(13)
+    opt = adam_with_clip(1e-4, 1.0)
+
+    def run(scale):
+        g = TrainState.create(g_params, opt)
+        d = TrainState.create(d_params, opt)
+        acc = jax.tree.map(jnp.zeros_like, d.params)
+        _, _, _, aux, _ = steps.fused_step(
+            g, d, acc, frozen, batch, key, jax.random.fold_in(key, 1), 0,
+            do_apply=True, copy_scale=scale)
+        return {k: float(v) for k, v in aux.items()}
+
+    a1, a0 = run(1.0), run(0.0)
+    assert abs(a1["COPY"] - a0["COPY"]) < 1e-5  # raw COPY metric unchanged
+    # the total differs by exactly w_copy * scale * COPY
+    assert abs((a1["loss"] - a0["loss"]) - 1.0 * a1["COPY"]) < 1e-4
+
+
 def test_copy_loss_rewards_copying(setup):
     """A generator forced (via aux inspection) to emit the source should have
     near-zero COPY: check the loss formula directly on a synthetic
