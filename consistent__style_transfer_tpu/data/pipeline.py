@@ -128,7 +128,12 @@ def collate_pretrain(max_len: int, wmd_labeler, p: float = 0.15):
         nx1, _ = align(n1, PAD_ID, noise_len)
         nx2, _ = align(n2, PAD_ID, noise_len)
         nx3, _ = align(n3, PAD_ID, max_len)  # rand_perm preserves lengths
-        wmd = np.asarray(wmd_labeler(n1, n2), dtype=np.float32)
+        # device-resident labelers (Sinkhorn) return jax arrays — keep them
+        # on device; host labelers (exact OT) return numpy. Both flow through
+        # shard_batch unchanged.
+        wmd = wmd_labeler(n1, n2)
+        if isinstance(wmd, np.ndarray):
+            wmd = wmd.astype(np.float32)
         return {
             "x": x, "nx1": nx1, "nx2": nx2, "nx3": nx3,
             "labels": labels.astype(np.int32), "wmd": wmd, "lengths": lengths,

@@ -105,8 +105,11 @@ class SinkhornWmdLabeler:
             ids1[b], cnt1[b], ids2[b], cnt2[b] = i1, c1, i2, c2
         vecs1 = self.table[ids1]
         vecs2 = self.table[ids2]
-        cost = np.asarray(
-            _sinkhorn_pairs(vecs1, cnt1, vecs2, cnt2,
-                            epsilon=self.epsilon, n_iters=self.n_iters)
-        )
-        return np.where(fallback >= 0, fallback, cost).astype(np.float32)
+        cost = _sinkhorn_pairs(vecs1, cnt1, vecs2, cnt2,
+                               epsilon=self.epsilon, n_iters=self.n_iters)
+        # stay on device: the labels feed straight into the (device) pretrain
+        # step, so a host fetch here would cross the host<->device link twice
+        # per batch and serialize the collate thread on device completion —
+        # measured at ~60-70 ms/batch on a tunneled chip (RESULTS.md).
+        fb = jnp.asarray(fallback)
+        return jnp.where(fb >= 0, fb, cost.astype(jnp.float32))

@@ -80,6 +80,10 @@ def shard_batch(batch: dict, mesh: Mesh) -> dict:
     pads partial batches, so this holds by construction."""
     out = {}
     for k, v in batch.items():
-        v = np.asarray(v)
+        if not isinstance(v, jax.Array):
+            # np.asarray on a jax array would FETCH it to host — device-
+            # resident values (e.g. Sinkhorn WMD labels) go straight to
+            # device_put, which reshards without a host round-trip
+            v = np.asarray(v)
         out[k] = jax.device_put(v, batch_sharding(mesh, v.ndim))
     return out
