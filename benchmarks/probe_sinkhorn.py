@@ -39,8 +39,10 @@ def main() -> None:
     key = jax.random.PRNGKey(0)
     kp, kq, kd = jax.random.split(key, 3)
     # simplex-ish masses with some zero atoms (mirrors BoW WMD inputs)
-    p = jax.random.uniform(kp, (B, N)) * (jax.random.uniform(kp, (B, N)) > 0.3)
-    q = jax.random.uniform(kq, (B, N)) * (jax.random.uniform(kq, (B, N)) > 0.3)
+    kp1, kp2 = jax.random.split(kp)
+    kq1, kq2 = jax.random.split(kq)
+    p = jax.random.uniform(kp1, (B, N)) * (jax.random.uniform(kp2, (B, N)) > 0.3)
+    q = jax.random.uniform(kq1, (B, N)) * (jax.random.uniform(kq2, (B, N)) > 0.3)
     p = p / jnp.maximum(p.sum(-1, keepdims=True), 1e-9)
     q = q / jnp.maximum(q.sum(-1, keepdims=True), 1e-9)
     D = jax.random.uniform(kd, (B, N, N))

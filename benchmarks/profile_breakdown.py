@@ -1,0 +1,208 @@
+"""Device-time attribution for the optimize-stage bench (VERDICT r2 item 3).
+
+Answers, with measurements instead of attribution-by-folklore:
+  1. what the tunnel costs per dispatch (trivial-op round trip),
+  2. where one bench iteration's wall time goes (fused GAN step vs greedy
+     decode vs val step — each timed dispatch-amortized),
+  3. the top device-time HLO ops of the fused step, via a ``jax.profiler``
+     trace parsed from the XPlane dump (best-effort: tunneled platforms may
+     not export device planes; the component breakdown above still stands).
+
+Writes one JSON to --out (default workdir/profile_breakdown.json).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+
+def _timeit(fn, fetch, iters=20, warm=3):
+    for _ in range(warm):
+        r = fn()
+    fetch(r)
+    t0 = time.time()
+    for _ in range(iters):
+        r = fn()
+    fetch(r)
+    return (time.time() - t0) / iters
+
+
+def top_ops_from_trace(trace_fn, logdir: str, k: int = 8):
+    """Run ``trace_fn`` under a profiler trace and return the top-k self-time
+    ops from the XPlane dump (None when no device plane was captured)."""
+    import jax
+
+    os.makedirs(logdir, exist_ok=True)
+    with jax.profiler.trace(logdir):
+        trace_fn()
+    xplanes = glob.glob(os.path.join(logdir, "**", "*.xplane.pb"),
+                        recursive=True)
+    if not xplanes:
+        return None
+    try:
+        from tensorflow.python.profiler.internal import _pywrap_profiler_plugin  # noqa: F401
+    except Exception:
+        pass
+    try:
+        # tensorboard_plugin_profile ships the XSpace -> tool converters
+        from tensorboard_plugin_profile.convert import raw_to_tool_data as rtd
+
+        data, _ = rtd.xspace_to_tool_data(xplanes, "framework_op_stats", {})
+        import gzip
+        import io
+
+        # framework_op_stats arrives as gzipped CSV
+        if isinstance(data, bytes):
+            try:
+                data = gzip.GzipFile(fileobj=io.BytesIO(data)).read()
+            except OSError:
+                pass
+            data = data.decode("utf-8", "replace")
+        import csv
+
+        rows = list(csv.DictReader(io.StringIO(data)))
+        key = next((c for c in ("total_self_time_us", "self_time_us",
+                                "avg_self_time_us")
+                    if rows and c in rows[0]), None)
+        if key is None:
+            return None
+        rows.sort(key=lambda r: float(r.get(key) or 0), reverse=True)
+        return [
+            {"op": r.get("operation") or r.get("op_name") or r.get("name"),
+             "category": r.get("category"),
+             "self_time_us": float(r.get(key) or 0)}
+            for r in rows[:k]
+        ]
+    except Exception as e:  # converter version drift — keep the bench alive
+        return {"error": f"{type(e).__name__}: {e}"}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=os.path.join(ROOT, "workdir",
+                                                  "profile_breakdown.json"))
+    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--iters", type=int, default=20)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from consistent__style_transfer_tpu.config import make_config
+    from consistent__style_transfer_tpu.parallel.mesh import make_mesh
+    from consistent__style_transfer_tpu.parallel.sharding import (
+        replicate,
+        shard_batch,
+    )
+    from consistent__style_transfer_tpu.train.optimize import (
+        OptimizeModels,
+        make_optimize_steps,
+    )
+    from consistent__style_transfer_tpu.train.state import (
+        TrainState,
+        adam_with_clip,
+    )
+
+    res: dict = {"device": jax.devices()[0].device_kind,
+                 "dtype": args.dtype, "batch": args.batch}
+
+    # 1. dispatch round-trip latency (the tunnel tax on every host sync)
+    one = jnp.ones((8,), jnp.float32)
+    tiny = jax.jit(lambda x: x + 1)
+    float(tiny(one)[0])
+    lat = []
+    for _ in range(30):
+        t0 = time.time()
+        float(tiny(one)[0])
+        lat.append(time.time() - t0)
+    lat.sort()
+    res["dispatch_roundtrip_ms_p50"] = round(lat[len(lat) // 2] * 1e3, 2)
+    res["dispatch_roundtrip_ms_min"] = round(lat[0] * 1e3, 2)
+
+    # 2. component breakdown at bench shapes
+    V, B = 10000, args.batch
+    cfg = make_config("yelp")
+    cfg.dtype = args.dtype
+    mesh = make_mesh(len(jax.devices()), 1)
+    models = OptimizeModels(cfg, V)
+    key = jax.random.PRNGKey(0)
+    L = cfg.max_len
+    x0 = jnp.zeros((2, L), jnp.int32)
+    l0 = jnp.zeros((2,), jnp.int32)
+    n0 = jnp.zeros((2, L + L // 2), jnp.int32)
+    kg, kc, km, kn, kd = jax.random.split(key, 5)
+    g_params = replicate(
+        models.generator.init(kg, x0, l0, None, l0, deterministic=True), mesh)
+    frozen = replicate({
+        "cls": models.classifier.init(kc, x0),
+        "mat": models.matcher.init(km, n0, n0),
+        "nt": models.nt_checker.init(kn, x0),
+    }, mesh)
+    d_params = replicate(models.disc.init(kd, x0), mesh)
+    g_state = TrainState.create(
+        g_params, adam_with_clip(cfg.optimize_lr, cfg.optimize_clip))
+    d_state = TrainState.create(
+        d_params, adam_with_clip(cfg.optimize_lr, cfg.optimize_clip))
+    steps = make_optimize_steps(cfg, models)
+
+    @jax.jit
+    def decode(params, x, labels):
+        return models.generator.apply(params, x, labels, None, 1 - labels,
+                                      mode="greedy", deterministic=True)
+
+    rng = np.random.default_rng(0)
+    batch = shard_batch({
+        "x": rng.integers(0, V, (B, L)).astype(np.int32),
+        "labels": rng.integers(0, 2, (B,)).astype(np.int32),
+    }, mesh)
+    acc0 = jax.tree.map(jnp.zeros_like, d_state.params)
+    bk = jax.random.PRNGKey(1)
+    db = jax.random.fold_in(bk, 1)
+
+    def fetch(tree):
+        leaf = jax.tree.leaves(tree)[0]
+        float(jnp.asarray(leaf).ravel()[0])
+
+    t_fused = _timeit(
+        lambda: steps.fused_step(g_state, d_state, acc0, frozen, batch, bk,
+                                 db, 0, do_apply=True),
+        fetch, iters=args.iters)
+    t_decode = _timeit(
+        lambda: decode(g_state.params, batch["x"], batch["labels"]),
+        fetch, iters=args.iters)
+    t_val = _timeit(
+        lambda: steps.val_step(g_state.params, frozen, batch),
+        fetch, iters=args.iters)
+    res["fused_step_ms"] = round(t_fused * 1e3, 2)
+    res["greedy_decode_ms"] = round(t_decode * 1e3, 2)
+    res["val_step_ms"] = round(t_val * 1e3, 2)
+    res["iter_ms"] = round((t_fused + t_decode) * 1e3, 2)
+    res["bench_equiv_sent_per_s"] = round(B / (t_fused + t_decode), 1)
+
+    # 3. top device-time ops of the fused step (best-effort)
+    def run_fused():
+        out = steps.fused_step(g_state, d_state, acc0, frozen, batch, bk, db,
+                               0, do_apply=True)
+        jax.block_until_ready(out)
+
+    res["top_ops"] = top_ops_from_trace(
+        run_fused, os.path.join(ROOT, "workdir", "profile_trace"))
+
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(res, f, indent=2)
+    print(json.dumps(res, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,44 +1,102 @@
-"""Corpus loading: eager BPE-encode of style files into memory.
+"""Corpus loading: eager BPE-encode of style files into fixed-shape arrays.
 
 Mirrors the reference dataset contract (``src/loader.py:10-40``): one sentence
 per line; the style label is the filename suffix (``style.train.0`` -> 0);
 sentences are BPE-encoded and truncated to ``max_len`` at load time; empty
 lines are dropped.
+
+TPU-native storage: the corpus lives as one padded ``(N, max_len)`` int32
+array + per-row lengths (not ragged Python lists), so batch assembly is pure
+numpy fancy indexing and the noising ops run vectorized over arrays. Loading
+goes through the C++ batch encoder (``native/tpust.cc::tpust_bpe_encode_batch``)
+when the runtime is built — one ctypes call per file instead of one Python
+``encode()`` per line, which is what makes 270k-sentences/style corpora load
+in seconds.
 """
 
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 import numpy as np
 
 
-def load_s2l(path: str, encode_fn) -> list[tuple[list[int], int]]:
-    """Load (encoded sentence, label) pairs; label parsed from the filename
-    suffix (reference ``src/loader.py:34-40``)."""
+def _read_lines(path: str) -> tuple[list[str], int]:
+    """Non-empty lines + the label parsed from the filename suffix
+    (reference ``src/loader.py:34-40``)."""
     assert os.path.exists(path), path
     label = int(path.split(".")[-1])
     with open(path, "r", encoding="utf-8") as f:
-        sentences = [line.strip() for line in f]
-    return [(encode_fn(s), label) for s in sentences if s]
+        lines = [line.strip() for line in f]
+    return [l for l in lines if l], label
+
+
+def load_s2l(path: str, encode_fn) -> list[tuple[list[int], int]]:
+    """Ragged (encoded sentence, label) pairs — the slow per-line path, kept
+    for tools and the pure-Python tokenizer fallback."""
+    lines, label = _read_lines(path)
+    return [(encode_fn(s), label) for s in lines]
 
 
 @dataclass
 class StyleCorpus:
-    """All sentences of one split, eagerly encoded."""
+    """All sentences of one split as fixed-shape arrays."""
 
-    sentences: list[list[int]]
-    labels: np.ndarray  # (N,) int32
+    ids: np.ndarray      # (N, max_len) int32, right-padded with PAD
+    lengths: np.ndarray  # (N,) int32 true lengths (<= max_len)
+    labels: np.ndarray   # (N,) int32
+    pad_id: int = 0
+    _sentences: list | None = field(default=None, repr=False)
+
+    @classmethod
+    def from_sentences(cls, sentences: list[list[int]], labels,
+                       max_len: int, pad_id: int = 0) -> "StyleCorpus":
+        n = len(sentences)
+        ids = np.full((n, max_len), pad_id, dtype=np.int32)
+        lengths = np.zeros(n, dtype=np.int32)
+        for i, s in enumerate(sentences):
+            s = list(s)[:max_len]
+            ids[i, : len(s)] = s
+            lengths[i] = len(s)
+        return cls(ids, lengths, np.asarray(labels, dtype=np.int32), pad_id)
 
     @classmethod
     def from_files(cls, files, tokenizer, max_len: int) -> "StyleCorpus":
-        samples: list[tuple[list[int], int]] = []
+        id_blocks, len_blocks, label_blocks = [], [], []
+        batch_encode = getattr(tokenizer, "encode_batch", None)
         for path in files:
-            samples += load_s2l(path, lambda s: tokenizer.encode(s)[:max_len])
-        sentences = [s for s, _ in samples]
-        labels = np.array([l for _, l in samples], dtype=np.int32)
-        return cls(sentences, labels)
+            lines, label = _read_lines(path)
+            if batch_encode is not None:
+                # C++ fast path: one call per file, fixed-shape output
+                ids, lens = batch_encode(lines, max_len)
+            else:
+                n = len(lines)
+                ids = np.zeros((n, max_len), dtype=np.int32)
+                lens = np.zeros(n, dtype=np.int32)
+                for i, line in enumerate(lines):
+                    enc = tokenizer.encode(line)[:max_len]
+                    ids[i, : len(enc)] = enc
+                    lens[i] = len(enc)
+            id_blocks.append(ids)
+            len_blocks.append(lens)
+            label_blocks.append(np.full(len(lines), label, dtype=np.int32))
+        return cls(
+            np.concatenate(id_blocks, axis=0),
+            np.concatenate(len_blocks, axis=0),
+            np.concatenate(label_blocks, axis=0),
+        )
+
+    @property
+    def sentences(self) -> list[list[int]]:
+        """Ragged view (materialized once, cached) — for host-side one-shot
+        passes (style_weights, w2v corpus export); the batch pipeline never
+        touches it."""
+        if self._sentences is None:
+            self._sentences = [
+                self.ids[i, : self.lengths[i]].tolist() for i in range(len(self))
+            ]
+        return self._sentences
 
     def __len__(self) -> int:
-        return len(self.sentences)
+        return len(self.labels)

@@ -25,7 +25,7 @@ import numpy as np
 
 from .. import PAD_ID
 from .corpus import StyleCorpus
-from .noise import align, rand_perm, transfer_noise
+from .noise import rand_perm_arrays, transfer_noise_arrays
 
 
 @dataclass
@@ -38,17 +38,22 @@ class Batch:
 
 
 def _batch_indices(n: int, batch_size: int, shuffle: bool, drop_last: bool,
-                   rng: np.random.Generator) -> list[np.ndarray]:
+                   rng: np.random.Generator) -> list[tuple[np.ndarray, int]]:
+    """Yields (indices, n_real) per batch; the last partial batch is padded at
+    the END by repeating index 0, with n_real recording how many leading rows
+    are genuine (a pad index of 0 is indistinguishable from a real 0, so the
+    count must be tracked here, not re-derived from the indices)."""
     order = rng.permutation(n) if shuffle else np.arange(n)
     out = []
     for start in range(0, n, batch_size):
         idx = order[start : start + batch_size]
-        if len(idx) < batch_size:
+        n_real = len(idx)
+        if n_real < batch_size:
             if drop_last:
                 break
-            pad = np.zeros(batch_size - len(idx), dtype=idx.dtype)
+            pad = np.zeros(batch_size - n_real, dtype=idx.dtype)
             idx = np.concatenate([idx, pad])
-        out.append(idx)
+        out.append((idx, n_real))
     return out
 
 
@@ -77,11 +82,12 @@ class BatchIterator:
     def __iter__(self) -> Iterator[Batch]:
         rng = np.random.default_rng((self.seed, self.epoch))
         n = len(self.corpus)
-        for idx in _batch_indices(n, self.batch_size, self.shuffle, self.drop_last, rng):
-            valid = int(np.sum(idx < n)) if not self.drop_last else len(idx)
-            sents = [self.corpus.sentences[i] for i in idx]
+        for idx, valid in _batch_indices(n, self.batch_size, self.shuffle,
+                                         self.drop_last, rng):
+            ids = self.corpus.ids[idx]
+            lens = self.corpus.lengths[idx]
             labels = self.corpus.labels[idx]
-            yield Batch(self.collate(sents, labels, rng), valid=min(valid, len(idx)))
+            yield Batch(self.collate(ids, lens, labels, rng), valid=valid)
         self.epoch += 1
 
     def __len__(self) -> int:
@@ -92,53 +98,62 @@ class BatchIterator:
 
 
 def collate_optimize(max_len: int):
-    def fn(sents, labels, rng):
-        x, lengths = align(sents, PAD_ID, max_len)
-        return {"x": x, "labels": labels.astype(np.int32), "lengths": lengths}
+    def fn(ids, lens, labels, rng):
+        return {"x": ids, "labels": labels.astype(np.int32), "lengths": lens}
     return fn
 
 
 def collate_warmup(max_len: int, p: float = 0.1):
-    def fn(sents, labels, rng):
-        noised = transfer_noise(sents, p=p, rng=rng)
-        nx, nlen = align(noised, PAD_ID, max_len)
-        x, lengths = align(sents, PAD_ID, max_len)
+    def fn(ids, lens, labels, rng):
+        nx, nlen = transfer_noise_arrays(ids, lens, p=p, rng=rng,
+                                         out_len=max_len, pad_id=PAD_ID)
         return {
-            "nx": nx, "x": x, "labels": labels.astype(np.int32),
-            "lengths": lengths, "nlengths": nlen,
+            "nx": nx, "x": ids, "labels": labels.astype(np.int32),
+            "lengths": lens, "nlengths": nlen,
         }
     return fn
 
 
 def collate_pretrain(max_len: int, wmd_labeler, p: float = 0.15):
-    """``wmd_labeler(noised1, noised2) -> (B,) float32`` — either the exact
-    host labeler or the batched on-device Sinkhorn labeler
-    (:mod:`consistent__style_transfer_tpu.data.wmd_labels`). Noised sentences
-    can exceed max_len (insertions); like the reference, we align them at
-    their own max (but statically: 2*max_len covers every possible insertion
-    pattern bounded by total batch tokens... in practice len <= max_len + bag;
-    we clamp to noise_len)."""
+    """``wmd_labeler.label_pairs(ids1, lens1, ids2, lens2) -> (B,) float32`` —
+    either the exact host labeler or the batched on-device Sinkhorn labeler
+    (:mod:`consistent__style_transfer_tpu.data.wmd_labels`). Noised rows can
+    exceed max_len (insertions); like the reference we keep them at their own
+    (static) width ``noise_len = max_len + max(4, max_len // 2)``."""
     noise_len = max_len + max(4, max_len // 2)
 
-    def fn(sents, labels, rng):
-        n1 = transfer_noise(sents, p=p, rng=rng)
-        n2 = transfer_noise(sents, p=p, rng=rng)
-        n3 = rand_perm(sents, p=p, rng=rng)
-        x, lengths = align(sents, PAD_ID, max_len)
-        nx1, _ = align(n1, PAD_ID, noise_len)
-        nx2, _ = align(n2, PAD_ID, noise_len)
-        nx3, _ = align(n3, PAD_ID, max_len)  # rand_perm preserves lengths
+    def fn(ids, lens, labels, rng):
+        nx1, nl1 = transfer_noise_arrays(ids, lens, p=p, rng=rng,
+                                         out_len=noise_len, pad_id=PAD_ID)
+        nx2, nl2 = transfer_noise_arrays(ids, lens, p=p, rng=rng,
+                                         out_len=noise_len, pad_id=PAD_ID)
+        nx3 = rand_perm_arrays(ids, lens, p=p, rng=rng)
         # device-resident labelers (Sinkhorn) return jax arrays — keep them
         # on device; host labelers (exact OT) return numpy. Both flow through
         # shard_batch unchanged.
-        wmd = wmd_labeler(n1, n2)
+        wmd = wmd_labeler.label_pairs(nx1, nl1, nx2, nl2)
         if isinstance(wmd, np.ndarray):
             wmd = wmd.astype(np.float32)
         return {
-            "x": x, "nx1": nx1, "nx2": nx2, "nx3": nx3,
-            "labels": labels.astype(np.int32), "wmd": wmd, "lengths": lengths,
+            "x": ids, "nx1": nx1, "nx2": nx2, "nx3": nx3,
+            "labels": labels.astype(np.int32), "wmd": wmd, "lengths": lens,
         }
     return fn
+
+
+def eval_arrays(batch: Batch) -> dict:
+    """Batch arrays + a (B,) ``row_mask`` marking the real rows.
+
+    Partial eval batches are padded up to B by repeating index 0 at the END
+    (:func:`_batch_indices`), so the first ``batch.valid`` rows are the real
+    ones. Val/eval steps use the mask for masked means, keeping duplicated pad
+    rows out of the model-selection signal (the reference keeps ragged final
+    batches, ``src/main_optimize.py:127-141``; static shapes force us to pad,
+    so the mask restores the same semantics)."""
+    arrays = dict(batch.arrays)
+    B = len(arrays["labels"])
+    arrays["row_mask"] = (np.arange(B) < batch.valid).astype(np.float32)
+    return arrays
 
 
 def make_batches(corpus: StyleCorpus, batch_size: int, max_len: int, stage: str,

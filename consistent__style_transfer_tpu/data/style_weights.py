@@ -28,9 +28,12 @@ def style_neutrality_weights(corpus: StyleCorpus, n_vocab: int,
                              alpha: float = 1.0) -> np.ndarray:
     """(n_vocab,) float32 in [0, 1]; specials (PAD/BOS/EOS) and unseen
     tokens get weight 1.0 (fully neutral)."""
+    valid = np.arange(corpus.ids.shape[1])[None, :] < corpus.lengths[:, None]
     counts = np.zeros((2, n_vocab), dtype=np.float64)
-    for ids, label in zip(corpus.sentences, corpus.labels):
-        np.add.at(counts[int(label)], np.asarray(ids, dtype=np.int64), 1.0)
+    for s in (0, 1):
+        rows = corpus.labels == s
+        counts[s] = np.bincount(corpus.ids[rows][valid[rows]],
+                                minlength=n_vocab)[:n_vocab]
     total = counts[0] + counts[1]
     q = (counts[1] + alpha) / (total + 2.0 * alpha)
     w = 1.0 - np.abs(2.0 * q - 1.0)
@@ -44,9 +47,9 @@ def mask_stats(corpus: StyleCorpus, weights: np.ndarray) -> dict:
     exemption the mask actually provides. A flat mask (high freq-weighted
     mean) means masked copy degenerates toward uniform copy — scale w_copy
     down (RESULTS.md, book rcm03)."""
-    counts = np.zeros(len(weights))
-    for ids in corpus.sentences:
-        np.add.at(counts, ids, 1)
+    valid = np.arange(corpus.ids.shape[1])[None, :] < corpus.lengths[:, None]
+    counts = np.bincount(corpus.ids[valid],
+                         minlength=len(weights))[: len(weights)].astype(np.float64)
     total = counts.sum()
     return {
         "freq_weighted_mean_neutrality": float((weights * counts).sum() / total),
@@ -62,8 +65,13 @@ def main() -> None:  # python -m consistent__style_transfer_tpu.data.style_weigh
     from ..train.common import get_corpus, get_tokenizer
 
     cfg = make_config(sys.argv[1] if len(sys.argv) > 1 else "yelp")
-    for kv in sys.argv[2:]:  # e.g. data_dir=... dump_dir=...
+    for kv in sys.argv[2:]:  # e.g. data_dir=... dump_dir=... max_len=20
         k, v = kv.split("=", 1)
+        cur = getattr(cfg, k)
+        if isinstance(cur, bool):
+            v = v.lower() in ("1", "true", "yes")
+        elif cur is not None and not isinstance(cur, str):
+            v = type(cur)(v)
         setattr(cfg, k, v)
     tok = get_tokenizer(cfg)
     corpus = get_corpus(cfg, "train", tok)

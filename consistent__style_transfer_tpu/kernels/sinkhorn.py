@@ -95,15 +95,14 @@ def sinkhorn_pallas(p, q, D, epsilon: float = 0.05, n_iters: int = 100,
     masked inside the kernel, so padding never changes the result. `group`
     and `lanes` are exposed so environments whose Mosaic build rejects the
     default tiling can probe smaller blocks (see benchmarks/probe_sinkhorn.py)."""
-    GROUP, LANES = group, lanes
     p = jnp.asarray(p, jnp.float32)
     q = jnp.asarray(q, jnp.float32)
     D = jnp.asarray(D, jnp.float32)
     B, N = p.shape
     M = q.shape[1]
-    Np = -(-N // LANES) * LANES
-    Mp = -(-M // LANES) * LANES
-    Bp = -(-B // GROUP) * GROUP
+    Np = -(-N // lanes) * lanes
+    Mp = -(-M // lanes) * lanes
+    Bp = -(-B // group) * group
     p = jnp.pad(p, ((0, Bp - B), (0, Np - N)))
     q = jnp.pad(q, ((0, Bp - B), (0, Mp - M)))
     D = jnp.pad(D, ((0, Bp - B), (0, Np - N), (0, Mp - M)))
@@ -111,7 +110,7 @@ def sinkhorn_pallas(p, q, D, epsilon: float = 0.05, n_iters: int = 100,
     kwargs = {}
     if _HAVE_PLTPU and not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(
-            vmem_limit_bytes=max(8 * GROUP * Np * Mp * 4, 4 << 20),
+            vmem_limit_bytes=max(8 * group * Np * Mp * 4, 4 << 20),
         )
     mem = pltpu.VMEM if (_HAVE_PLTPU and not interpret) else None
 
@@ -122,13 +121,13 @@ def sinkhorn_pallas(p, q, D, epsilon: float = 0.05, n_iters: int = 100,
 
     out = pl.pallas_call(
         functools.partial(_kernel, epsilon=epsilon, n_iters=n_iters),
-        grid=(Bp // GROUP,),
+        grid=(Bp // group,),
         in_specs=[
-            spec((GROUP, Np), lambda b: (b, 0)),
-            spec((GROUP, Mp), lambda b: (b, 0)),
-            spec((GROUP, Np, Mp), lambda b: (b, 0, 0)),
+            spec((group, Np), lambda b: (b, 0)),
+            spec((group, Mp), lambda b: (b, 0)),
+            spec((group, Np, Mp), lambda b: (b, 0, 0)),
         ],
-        out_specs=spec((GROUP, 1), lambda b: (b, 0)),
+        out_specs=spec((group, 1), lambda b: (b, 0)),
         out_shape=jax.ShapeDtypeStruct((Bp, 1), jnp.float32),
         interpret=interpret,
         **kwargs,

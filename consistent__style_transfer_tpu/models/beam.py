@@ -54,17 +54,30 @@ def beam_search(
 
 def beam_decode_any(model, params, x, label_i, tgt_label,
                     beam_size: int = 4, length_penalty: float = 0.6):
-    """Beam decode for either generator backbone via its deterministic
-    teacher-forced logits path."""
+    """Beam decode for either generator backbone.
+
+    LSTM backbone: stateful beam (``BeamDenoiseSeq2Seq`` — one encoder pass +
+    L single-token decoder steps with carried (h, c) per beam) sharing the
+    trained params by module-name identity. Transformer backbone:
+    prefix-rescoring via :func:`beam_search` (one parallel causal pass per
+    step — already the right shape for full attention)."""
     from ..train.common import generator_call
+    from .generator import BeamDenoiseSeq2Seq, DenoiseSeq2Seq
+    from .seq2seq_transformer import TransformerSeq2Seq
+
+    if isinstance(model, DenoiseSeq2Seq) and not isinstance(
+            model, TransformerSeq2Seq):
+        beam_model = BeamDenoiseSeq2Seq(
+            n_vocab=model.n_vocab, n_class=model.n_class,
+            max_len=model.max_len, p_drop=model.p_drop, dtype=model.dtype,
+            beam_size=beam_size, length_penalty=length_penalty)
+        return beam_model.apply(params, x, label_i, tgt_label)
 
     B, L = x.shape[0], model.max_len
     V = model.n_vocab
     x_rep = jnp.repeat(x, beam_size, 0)
     li_rep = jnp.repeat(label_i, beam_size, 0)
     tl_rep = jnp.repeat(tgt_label, beam_size, 0)
-
-    from .seq2seq_transformer import TransformerSeq2Seq
 
     teacher_mode = "sched" if isinstance(model, TransformerSeq2Seq) else "teacher"
 

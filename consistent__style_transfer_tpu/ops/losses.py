@@ -23,14 +23,30 @@ def cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray, mask=None) -> jnp.nd
     return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1.0)
 
 
-def softmax_cross_entropy_tokens(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
+def softmax_cross_entropy_tokens(logits: jnp.ndarray, targets: jnp.ndarray,
+                                 row_mask=None) -> jnp.ndarray:
     """CE over token grids: logits (B, L, V), targets (B, L); mean over B*L —
-    torch ``CrossEntropyLoss`` on reshaped inputs."""
-    return cross_entropy(logits.reshape(-1, logits.shape[-1]), targets.reshape(-1))
+    torch ``CrossEntropyLoss`` on reshaped inputs. ``row_mask`` (B,) restricts
+    the mean to valid rows (the pipeline pads partial eval batches by
+    repeating sample 0; masked means keep the val signal unpolluted)."""
+    if row_mask is None:
+        return cross_entropy(logits.reshape(-1, logits.shape[-1]), targets.reshape(-1))
+    mask = jnp.broadcast_to(row_mask[:, None], targets.shape)
+    return cross_entropy(logits.reshape(-1, logits.shape[-1]), targets.reshape(-1),
+                         mask=mask.reshape(-1))
 
 
-def mse(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
-    return jnp.mean((pred - target) ** 2)
+def mse(pred: jnp.ndarray, target: jnp.ndarray, mask=None) -> jnp.ndarray:
+    if mask is None:
+        return jnp.mean((pred - target) ** 2)
+    mask = jnp.broadcast_to(mask, pred.shape).astype(pred.dtype)
+    return jnp.sum(mask * (pred - target) ** 2) / jnp.maximum(jnp.sum(mask), 1.0)
+
+
+def masked_row_mean(values: jnp.ndarray, row_mask: jnp.ndarray) -> jnp.ndarray:
+    """Mean of per-row values (B,) over rows where ``row_mask`` is nonzero."""
+    row_mask = row_mask.astype(values.dtype)
+    return jnp.sum(values * row_mask) / jnp.maximum(jnp.sum(row_mask), 1.0)
 
 
 def bce_with_logits(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:

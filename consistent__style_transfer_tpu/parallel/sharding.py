@@ -77,7 +77,18 @@ def batch_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
 def shard_batch(batch: dict, mesh: Mesh) -> dict:
     """Place a dict of host numpy arrays onto the mesh, sharded over the batch
     (leading) axis. Batch sizes must divide the data-axis size — the pipeline
-    pads partial batches, so this holds by construction."""
+    pads partial batches, so this holds by construction.
+
+    Topology contract (SURVEY §2.6 "per-host data sharding"): with ONE
+    process (every single-host topology incl. v4-8/v5e-8, and this repo's CI
+    meshes) the full global batch is device_put from this host. With
+    ``jax.process_count() > 1`` (multi-slice / multi-host), each process must
+    feed only its LOCAL shard of the global batch — the pipeline on host h
+    yields rows [h*B/H, (h+1)*B/H) of the global batch, and
+    :func:`shard_batch_multihost` assembles the global array from the
+    process-local pieces without any cross-host gather."""
+    if jax.process_count() > 1:
+        return shard_batch_multihost(batch, mesh)
     out = {}
     for k, v in batch.items():
         if not isinstance(v, jax.Array):
@@ -86,4 +97,23 @@ def shard_batch(batch: dict, mesh: Mesh) -> dict:
             # device_put, which reshards without a host round-trip
             v = np.asarray(v)
         out[k] = jax.device_put(v, batch_sharding(mesh, v.ndim))
+    return out
+
+
+def shard_batch_multihost(batch: dict, mesh: Mesh) -> dict:
+    """Multi-host batch placement: ``batch`` holds this process's LOCAL rows
+    (global_batch / process_count of them); the returned jax.Arrays are
+    GLOBAL views assembled per-shard via
+    ``jax.make_array_from_process_local_data`` — each host only ever
+    materializes its own slice, which is what makes multi-slice input
+    pipelines scale (no host broadcasts the full batch).
+
+    Index-domain correctness (tested single-process in
+    ``tests/test_parallel.py``): with the batch axis sharded over ``data``,
+    process-local row r of host h is global row ``h * local_B + r``."""
+    out = {}
+    for k, v in batch.items():
+        v = np.asarray(v)  # device-resident values must come back to host
+        out[k] = jax.make_array_from_process_local_data(
+            batch_sharding(mesh, v.ndim), v)
     return out

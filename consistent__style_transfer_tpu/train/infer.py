@@ -51,19 +51,37 @@ def make_transfer_step(model, beam_size: int = 1):
 def transfer_split(cfg: Config, model, params, tokenizer, split: str,
                    mesh=None, step_fn=None) -> dict[int, list[str]]:
     """Greedy-transfer one split; returns {source_label: [decoded lines]} in
-    corpus order."""
+    corpus order.
+
+    The loop is fully pipelined: host batch prep + device_put run in the
+    prefetcher thread, the decode dispatch is async, and the previous batch's
+    ids are fetched/BPE-decoded while the next batch runs on the chip — so a
+    tunneled chip's round-trip latency is paid once, not per batch (at the
+    reference's 540k-sentence train-split transfer this is the difference
+    between minutes and tens of minutes)."""
+    from ..data.prefetch import DevicePrefetcher
+
     mesh = mesh or get_mesh(cfg)
     step_fn = step_fn or make_transfer_step(model, cfg.beam_size)
     corpus = get_corpus(cfg, split, tokenizer)
     it = make_batches(corpus, cfg.batch_size, cfg.max_len, "optimize",
                       shuffle=False, seed=cfg.seed)
     routed: dict[int, list[str]] = {0: [], 1: []}
-    for batch in it:
-        arrays = shard_batch(batch.arrays, mesh)
-        tokens = np.asarray(step_fn(params, arrays["x"], arrays["labels"]))
+
+    def drain(tokens, batch):
+        tokens = np.asarray(tokens)  # forces the (async) device result
         labels = batch["labels"]
         for i in range(batch.valid):
             routed[int(labels[i])].append(tokenizer.decode(tokens[i].tolist()))
+
+    pending = None
+    for batch, arrays in DevicePrefetcher(it, mesh):
+        fut = step_fn(params, arrays["x"], arrays["labels"])
+        if pending is not None:
+            drain(*pending)
+        pending = (fut, batch)
+    if pending is not None:
+        drain(*pending)
     return routed
 
 

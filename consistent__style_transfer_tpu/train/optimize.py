@@ -40,9 +40,15 @@ import jax.numpy as jnp
 import optax
 
 from ..config import Config
-from ..data.pipeline import make_batches
+from ..data.pipeline import eval_arrays, make_batches
 from ..data.prefetch import DevicePrefetcher
-from ..ops.losses import bce_with_logits, cross_entropy, mse, softmax_cross_entropy_tokens
+from ..ops.losses import (
+    bce_with_logits,
+    cross_entropy,
+    masked_row_mean,
+    mse,
+    softmax_cross_entropy_tokens,
+)
 from ..parallel.sharding import replicate, shard_batch
 from ..utils.io import RunLogger
 from .common import (
@@ -253,14 +259,18 @@ def make_optimize_steps(cfg: Config, models: OptimizeModels,
 
     @jax.jit
     def val_step(g_params, frozen, batch):
+        # optional "row_mask" (data/pipeline.py::eval_arrays) keeps padded
+        # duplicate rows out of every mean (absent => plain means)
+        rows = batch.get("row_mask")
         sample_p = st_decode(g_params, batch, None, deterministic=True)
         tokens = jnp.argmax(sample_p, -1)
         s_logits = CLS.apply(frozen["cls"], tokens, deterministic=True)
         c_logits = MAT.apply(frozen["mat"], tokens, batch["x"], deterministic=True)
         nt_logits = NT.apply(frozen["nt"], tokens, deterministic=True)
-        s_loss = cross_entropy(s_logits, 1 - batch["labels"])
-        nt_loss = softmax_cross_entropy_tokens(nt_logits, tokens)
-        return nt_loss + s_loss + jnp.mean(c_logits)
+        s_loss = cross_entropy(s_logits, 1 - batch["labels"], mask=rows)
+        nt_loss = softmax_cross_entropy_tokens(nt_logits, tokens, row_mask=rows)
+        c_mean = jnp.mean(c_logits) if rows is None else masked_row_mean(c_logits, rows)
+        return nt_loss + s_loss + c_mean
 
     def _mk_rngs(base_key, step):
         # exact reproduction of train.common.step_rngs, traced inside the jit
@@ -395,7 +405,8 @@ def run_optimize(cfg: Config, progress: bool = True,
         # validation + best-G retention (main_optimize.py:127-151)
         total, weight = 0.0, 0
         for batch in dev_it:
-            loss = val_step(g_state.params, frozen, shard_batch(batch.arrays, mesh))
+            loss = val_step(g_state.params, frozen,
+                            shard_batch(eval_arrays(batch), mesh))
             total += float(loss) * batch.valid
             weight += batch.valid
         val_loss = total / max(weight, 1)

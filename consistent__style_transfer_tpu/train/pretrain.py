@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import Config
-from ..data.pipeline import make_batches
+from ..data.pipeline import eval_arrays, make_batches
 from ..data.prefetch import DevicePrefetcher
 from ..data.wmd_labels import ExactWmdLabeler, SinkhornWmdLabeler
 from ..ops.losses import cross_entropy, mse, softmax_cross_entropy_tokens
@@ -53,19 +53,23 @@ def make_pretrain_steps(models: dict):
     cls_m, mat_m, dn_m = models["cls"], models["mat"], models["dn"]
 
     def losses(params, batch, rngs, flags, deterministic):
+        # optional "row_mask" (data/pipeline.py::eval_arrays) keeps padded
+        # duplicate rows out of the val means; absent on train batches
+        rows = batch.get("row_mask")
         out = {}
         if flags[0]:
             s_logits = cls_m.apply(params["cls"], batch["x"],
                                    deterministic=deterministic, rngs=rngs)
-            out["cls"] = cross_entropy(s_logits, batch["labels"])
+            out["cls"] = cross_entropy(s_logits, batch["labels"], mask=rows)
         if flags[1]:
             c_logits = mat_m.apply(params["mat"], batch["nx1"], batch["nx2"],
                                    deterministic=deterministic, rngs=rngs)
-            out["mat"] = mse(c_logits, batch["wmd"])
+            out["mat"] = mse(c_logits, batch["wmd"], mask=rows)
         if flags[2]:
             dn_logits = dn_m.apply(params["dn"], batch["nx3"],
                                    deterministic=deterministic, rngs=rngs)
-            out["dn"] = softmax_cross_entropy_tokens(dn_logits, batch["x"])
+            out["dn"] = softmax_cross_entropy_tokens(dn_logits, batch["x"],
+                                                     row_mask=rows)
         return out
 
     @partial(jax.jit, static_argnames=("flags",))
@@ -155,7 +159,8 @@ def run_pretrain(cfg: Config, progress: bool = True) -> dict[str, str]:
         sums = {t: 0.0 for t in TASKS}
         weights = 0
         for batch in dev_it:
-            parts = eval_step(state.params, shard_batch(batch.arrays, mesh), ftuple)
+            parts = eval_step(state.params, shard_batch(eval_arrays(batch), mesh),
+                              ftuple)
             for t, v in parts.items():
                 sums[t] += float(v) * batch.valid
             weights += batch.valid

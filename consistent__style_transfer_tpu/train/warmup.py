@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import Config
-from ..data.pipeline import make_batches
+from ..data.pipeline import eval_arrays, make_batches
 from ..data.prefetch import DevicePrefetcher
 from ..ops.losses import softmax_cross_entropy_tokens
 from ..parallel.sharding import replicate, shard_batch
@@ -60,7 +60,10 @@ def make_warmup_steps(model):
             model, params, batch["nx"], batch["labels"], batch["x"],
             batch["labels"], mode="sched", deterministic=True, rngs=rngs,
         )
-        return softmax_cross_entropy_tokens(logits, batch["x"])
+        # optional "row_mask" (data/pipeline.py::eval_arrays) masks padded
+        # duplicate rows out of the val mean
+        return softmax_cross_entropy_tokens(logits, batch["x"],
+                                            row_mask=batch.get("row_mask"))
 
     return train_step, eval_step
 
@@ -107,7 +110,7 @@ def run_warmup(cfg: Config, progress: bool = True) -> str:
         # validation (epoch end)
         losses, weights = [], []
         for batch in dev_it:
-            loss = eval_step(state.params, shard_batch(batch.arrays, mesh),
+            loss = eval_step(state.params, shard_batch(eval_arrays(batch), mesh),
                              step_rngs(key, 10_000_000 + step))
             losses.append(float(loss))
             weights.append(batch.valid)

@@ -61,3 +61,77 @@ def test_seeded_determinism():
     r2 = np.random.default_rng(7)
     sents = [[1, 2, 3, 4, 5], [6, 7, 8, 9], [10, 11, 12]]
     assert transfer_noise(sents, 0.3, r1) == transfer_noise(sents, 0.3, r2)
+
+
+# ----------------------------------------------------- array-native variants
+
+def _padded(rng, n=32, lo=4, hi=18, max_len=18):
+    from consistent__style_transfer_tpu.data.corpus import StyleCorpus
+
+    sents = _sentences(rng, n=n, lo=lo, hi=hi)
+    c = StyleCorpus.from_sentences(sents, np.zeros(n, np.int32), max_len)
+    return c.ids, c.lengths
+
+
+def _multiset(ids, lens):
+    valid = np.arange(ids.shape[1])[None, :] < lens[:, None]
+    return sorted(ids[valid].tolist())
+
+
+def test_transfer_noise_arrays_preserves_multiset(rng):
+    from consistent__style_transfer_tpu.data.noise import transfer_noise_arrays
+
+    ids, lens = _padded(rng)
+    out, olens = transfer_noise_arrays(ids, lens, p=0.15, rng=rng, out_len=27)
+    # out_len=27 > max possible (every token dropped still fits), so nothing
+    # is truncated and the token multiset is exactly preserved
+    assert _multiset(out, olens) == _multiset(ids, lens)
+    # pad slots stay PAD
+    valid = np.arange(out.shape[1])[None, :] < olens[:, None]
+    assert (out[~valid] == 0).all()
+
+
+def test_transfer_noise_arrays_p0_identity(rng):
+    from consistent__style_transfer_tpu.data.noise import transfer_noise_arrays
+
+    ids, lens = _padded(rng)
+    out, olens = transfer_noise_arrays(ids, lens, p=0.0, rng=rng, out_len=18)
+    np.testing.assert_array_equal(out, ids)
+    np.testing.assert_array_equal(olens, lens)
+
+
+def test_transfer_noise_arrays_truncates_to_out_len(rng):
+    from consistent__style_transfer_tpu.data.noise import transfer_noise_arrays
+
+    ids, lens = _padded(rng)
+    out, olens = transfer_noise_arrays(ids, lens, p=0.5, rng=rng, out_len=10)
+    assert out.shape[1] == 10
+    assert (olens <= 10).all()
+
+
+def test_transfer_noise_arrays_moves_mass(rng):
+    from consistent__style_transfer_tpu.data.noise import transfer_noise_arrays
+
+    ids, lens = _padded(rng)
+    out, olens = transfer_noise_arrays(ids, lens, p=0.5, rng=rng, out_len=27)
+    assert not (np.array_equal(out[:, :18], ids) and np.array_equal(olens, lens))
+
+
+def test_rand_perm_arrays_invariants(rng):
+    from consistent__style_transfer_tpu.data.noise import rand_perm_arrays
+
+    ids, lens = _padded(rng)
+    out = rand_perm_arrays(ids, lens, p=0.15, rng=rng)
+    assert _multiset(out, lens) == _multiset(ids, lens)
+    valid = np.arange(ids.shape[1])[None, :] < lens[:, None]
+    assert (out[~valid] == ids[~valid]).all()
+
+
+def test_rand_perm_arrays_rate(rng):
+    from consistent__style_transfer_tpu.data.noise import rand_perm_arrays
+
+    ids = rng.integers(4, 10_000, size=(200, 20)).astype(np.int32)
+    lens = np.full(200, 20, np.int32)
+    out = rand_perm_arrays(ids, lens, p=0.15, rng=rng)
+    changed = (out != ids).mean()
+    assert 0.05 < changed < 0.25

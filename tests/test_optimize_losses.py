@@ -121,9 +121,9 @@ def test_style_neutrality_weights():
     )
 
     # token 10 only in style 0; token 11 balanced; token 12 unseen
-    corpus = StyleCorpus(
-        sentences=[[10, 11], [10, 11, 10], [11], [11]],
-        labels=np.array([0, 0, 1, 1], np.int32),
+    corpus = StyleCorpus.from_sentences(
+        [[10, 11], [10, 11, 10], [11], [11]],
+        np.array([0, 0, 1, 1], np.int32), max_len=8,
     )
     w = style_neutrality_weights(corpus, 20, alpha=0.1)
     assert w.shape == (20,)

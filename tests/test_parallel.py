@@ -94,17 +94,42 @@ def test_shard_batch_places_on_data_axis():
     assert batch["x"].sharding.spec == P("data", None)
 
 
-def test_optimize_step_tp_mesh():
-    """The driver-gated multi-chip exercise, in CI: one full optimize GAN
-    step (ST decode + back-translation + D grads + val scoring) on a
-    data=4 x model=2 mesh must compile, run, and produce finite losses.
+def test_optimize_step_tp_mesh(tmp_path):
+    """The driver-gated multi-chip exercise, in CI: 8 full optimize GAN
+    steps (two D-accumulation cycles; ST decode + back-translation + D grads
+    + val scoring) on a data=4 x model=2 mesh must compile, run, produce
+    finite losses, reset the D accumulator on each apply (asserted inside),
+    and survive an Orbax save/restore/continue of the full sharded state.
     Shares code with ``__graft_entry__.dryrun_multichip`` via
     ``parallel.exercise.optimize_step_on_mesh``."""
     from consistent__style_transfer_tpu.parallel.exercise import (
         optimize_step_on_mesh,
     )
 
-    out = optimize_step_on_mesh(4, 2)
+    out = optimize_step_on_mesh(4, 2, n_steps=8, ckpt_dir=str(tmp_path / "ck"))
     assert out["mesh"] == {"data": 4, "model": 2}
+    assert out["n_steps"] == 9 and out["ckpt_roundtrip"]
     for k in ("g_loss", "d_loss", "val"):
         assert np.isfinite(out[k]), (k, out)
+
+
+def test_shard_batch_multihost_single_process_equivalence():
+    """Index-domain correctness of the multi-host input path: with one
+    process, ``shard_batch_multihost`` (each host feeds its local rows via
+    ``jax.make_array_from_process_local_data``) must produce exactly the
+    arrays ``shard_batch`` places — same global values, same shardings
+    (SURVEY §2.6 per-host data sharding; the >1-process branch is the same
+    call with a smaller local array)."""
+    from consistent__style_transfer_tpu.parallel.sharding import (
+        shard_batch_multihost,
+    )
+
+    mesh = make_mesh(8, 1)
+    rng = np.random.default_rng(0)
+    host = {"x": rng.integers(0, 99, (16, 4)).astype(np.int32),
+            "labels": rng.integers(0, 2, (16,)).astype(np.int32)}
+    a = shard_batch(dict(host), mesh)
+    b = shard_batch_multihost(dict(host), mesh)
+    for k in host:
+        assert a[k].sharding == b[k].sharding
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))

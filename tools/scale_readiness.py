@@ -80,7 +80,7 @@ def main() -> None:
             lines += [ln.strip() for ln in fh]
     t0 = time.time()
     ids, lens = ntok.encode_batch(lines, max_len=18)
-    res["encode_corpus_s"] = round(time.time() - t0, 2)
+    res["encode_corpus_s"] = round(max(time.time() - t0, 1e-3), 3)
     res["encode_lines_per_s"] = round(n_lines / res["encode_corpus_s"])
     print(f"[scale] C++ batch-encode {n_lines} lines: "
           f"{res['encode_corpus_s']}s ({res['encode_lines_per_s']}/s)",
@@ -92,24 +92,29 @@ def main() -> None:
     print(f"[scale] word2vec (10 epochs, d=100, production path incl. "
           f"tokenization): {res['w2v_train_s']}s", flush=True)
 
-    # --- collate throughput (the host-side hot loop of each stage) ---
-    from consistent__style_transfer_tpu.data.noise import rand_perm, transfer_noise
+    # --- collate throughput (the host-side hot loop of each stage; the
+    # production array-native path, data/pipeline.py collates) ---
+    from consistent__style_transfer_tpu.data.noise import (
+        rand_perm_arrays,
+        transfer_noise_arrays,
+    )
     from consistent__style_transfer_tpu.data.wmd_labels import SinkhornWmdLabeler
 
-    sents = [list(map(int, row[:l])) for row, l in zip(ids, lens)]
     labeler = SinkhornWmdLabeler(w2v, tok)
 
     rng = np.random.default_rng(0)
     B = args.batch
-    batch_sents = [sents[i] for i in rng.integers(0, len(sents), B)]
+    sel = rng.integers(0, len(lens), B)
+    bx, bl = ids[sel], lens[sel]
+    noise_len = 18 + max(4, 18 // 2)
 
     t0 = time.time()
     iters = 10
     for _ in range(iters):
-        n1 = transfer_noise(batch_sents, 0.15, rng)
-        n2 = transfer_noise(batch_sents, 0.15, rng)
-        _ = rand_perm(batch_sents, 0.15, rng)
-        _ = labeler(n1, n2)
+        nx1, nl1 = transfer_noise_arrays(bx, bl, 0.15, rng, out_len=noise_len)
+        nx2, nl2 = transfer_noise_arrays(bx, bl, 0.15, rng, out_len=noise_len)
+        _ = rand_perm_arrays(bx, bl, 0.15, rng)
+        _ = labeler.label_pairs(nx1, nl1, nx2, nl2)
     dt = (time.time() - t0) / iters
     res["pretrain_collate_ms_per_batch"] = round(dt * 1e3, 1)
     res["pretrain_collate_sent_per_s"] = round(B / dt)
@@ -119,7 +124,7 @@ def main() -> None:
 
     t0 = time.time()
     for _ in range(iters):
-        _ = transfer_noise(batch_sents, 0.1, rng)
+        _ = transfer_noise_arrays(bx, bl, 0.1, rng, out_len=18)
     dt = (time.time() - t0) / iters
     res["warmup_collate_ms_per_batch"] = round(dt * 1e3, 1)
     res["warmup_collate_sent_per_s"] = round(B / dt)
