@@ -14,7 +14,6 @@ Writes one JSON to --out (default workdir/profile_breakdown.json).
 from __future__ import annotations
 
 import argparse
-import glob
 import json
 import os
 import sys
@@ -36,52 +35,22 @@ def _timeit(fn, fetch, iters=20, warm=3):
 
 
 def top_ops_from_trace(trace_fn, logdir: str, k: int = 8):
-    """Run ``trace_fn`` under a profiler trace and return the top-k self-time
-    ops from the XPlane dump (None when no device plane was captured)."""
+    """Run ``trace_fn`` under a profiler trace and return the device-time
+    breakdown (sync self-time + overlapped async DMA) from the XPlane dump.
+
+    Uses the dependency-free wire-format reader in benchmarks/xplane.py —
+    the canonical tensorboard_plugin_profile converters are pinned to a
+    protobuf/TF version this image doesn't carry."""
     import jax
+
+    from xplane import top_ops
 
     os.makedirs(logdir, exist_ok=True)
     with jax.profiler.trace(logdir):
         trace_fn()
-    xplanes = glob.glob(os.path.join(logdir, "**", "*.xplane.pb"),
-                        recursive=True)
-    if not xplanes:
-        return None
     try:
-        from tensorflow.python.profiler.internal import _pywrap_profiler_plugin  # noqa: F401
-    except Exception:
-        pass
-    try:
-        # tensorboard_plugin_profile ships the XSpace -> tool converters
-        from tensorboard_plugin_profile.convert import raw_to_tool_data as rtd
-
-        data, _ = rtd.xspace_to_tool_data(xplanes, "framework_op_stats", {})
-        import gzip
-        import io
-
-        # framework_op_stats arrives as gzipped CSV
-        if isinstance(data, bytes):
-            try:
-                data = gzip.GzipFile(fileobj=io.BytesIO(data)).read()
-            except OSError:
-                pass
-            data = data.decode("utf-8", "replace")
-        import csv
-
-        rows = list(csv.DictReader(io.StringIO(data)))
-        key = next((c for c in ("total_self_time_us", "self_time_us",
-                                "avg_self_time_us")
-                    if rows and c in rows[0]), None)
-        if key is None:
-            return None
-        rows.sort(key=lambda r: float(r.get(key) or 0), reverse=True)
-        return [
-            {"op": r.get("operation") or r.get("op_name") or r.get("name"),
-             "category": r.get("category"),
-             "self_time_us": float(r.get(key) or 0)}
-            for r in rows[:k]
-        ]
-    except Exception as e:  # converter version drift — keep the bench alive
+        return top_ops(logdir, k=k)
+    except Exception as e:  # malformed dump — keep the bench alive
         return {"error": f"{type(e).__name__}: {e}"}
 
 

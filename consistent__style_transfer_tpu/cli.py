@@ -143,6 +143,7 @@ def cmd_serve(cfg: Config) -> None:
     import numpy as np
 
     from .data.noise import align
+    from .parallel.sharding import replicate
     from .train.common import get_mesh, get_tokenizer
     from .train.infer import make_transfer_step
     from .train.optimize import OptimizeModels, load_generator_params
@@ -151,7 +152,12 @@ def cmd_serve(cfg: Config) -> None:
     cfg.mode = "test"
     tokenizer = get_tokenizer(cfg)
     models = OptimizeModels(cfg, len(tokenizer))
-    params = load_generator_params(cfg, models, jax.random.PRNGKey(cfg.seed))
+    # device-resident params: checkpoint loading returns HOST arrays, and
+    # host arrays passed per call re-upload the full weight set on every
+    # request batch (tens of MB through a tunneled link)
+    params = replicate(
+        load_generator_params(cfg, models, jax.random.PRNGKey(cfg.seed)),
+        get_mesh(cfg))
     step = make_transfer_step(models.generator, cfg.beam_size)
 
     def flush(styles, texts):

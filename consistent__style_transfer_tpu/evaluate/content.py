@@ -7,7 +7,7 @@ side is 'references'). Lower is better."""
 
 from __future__ import annotations
 
-from ..text.word2vec import Word2Vec
+from ..text.word2vec import Word2Vec, train_sentences_w2v
 from .retokenize import tokenize
 
 MASK_TOKEN = "MASK"
@@ -23,7 +23,9 @@ def mask_style_words(texts, lexicon) -> list[str]:
 
 def train_masked_word2vec(texts, path: str, seed: int = 1) -> Word2Vec:
     sentences = [tokenize(t) for t in texts]
-    w2v = Word2Vec(sentences, epochs=5, seed=seed)  # gensim defaults
+    # gensim defaults (5 epochs); C++ hogwild trainer when built — the
+    # Python fallback is fine at dev scale but not at 540k train lines
+    w2v = train_sentences_w2v(sentences, epochs=5, seed=seed)
     w2v.save(path)
     return w2v
 

@@ -232,6 +232,22 @@ def train_token_w2v(
     return Word2Vec(sentences, epochs=epochs, seed=seed, **kw)
 
 
+def train_sentences_w2v(sentences, epochs: int = 5, seed: int = 1,
+                        prefer_native: bool = True, **kw) -> Word2Vec:
+    """Train word2vec over pre-tokenized sentences, using the hogwild C++
+    trainer when built (the pure-Python trainer is a per-token SGD loop —
+    fine at dev-corpus scale, ~hours at the reference's 540k lines)."""
+    if prefer_native:
+        try:
+            from . import native as nat
+
+            if nat.available() or nat.build():
+                return _native_w2v(sentences, epochs=epochs, seed=seed, **kw)
+        except Exception:
+            pass
+    return Word2Vec(sentences, epochs=epochs, seed=seed, **kw)
+
+
 def _native_w2v(sentences, epochs: int, seed: int, dim: int = 100,
                 window: int = 5, min_count: int = 5, negative: int = 5,
                 sample: float = 1e-3, **_kw) -> Word2Vec:

@@ -11,9 +11,13 @@ import os
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_collective_call_terminate_timeout_seconds" not in flags:
+    # 8 virtual devices time-share 1 core: XLA CPU's default 40 s collective
+    # rendezvous termination limit aborts (SIGABRT) on thread starvation
+    flags += (" --xla_cpu_collective_call_terminate_timeout_seconds=600"
+              " --xla_cpu_collective_call_warn_stuck_timeout_seconds=120")
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 
