@@ -113,7 +113,12 @@ class _Affine(nn.Module):
 
 class _DecoderStep(nn.Module):
     """One decode step; scanned over time by `nn.scan` with per-step dropout
-    RNGs. Carry holds (h, c, x_t, memory); xs holds (teacher_embed_t, coin_t).
+    RNGs. Carry holds (h, c, x_t); xs holds (teacher_embed_t, coin_t).
+    ``memory`` (B, L, 2*D_ENC) and ``emb_table`` (V, E) are loop-invariant
+    and passed as ``nn.broadcast`` inputs rather than through the carry:
+    lax.scan re-threads every carry leaf through the while loop each step,
+    which showed up as ~13% of fused-step device time in loop-carry layout
+    copies (RESULTS.md round-3 profile) for these two large invariants.
 
     With ``use_pallas`` (greedy mode, TPU), the FFN -> vocab-projection ->
     argmax head runs as the fused vocab-tiled Pallas kernel
@@ -130,12 +135,12 @@ class _DecoderStep(nn.Module):
     rep_penalty: float = 0.0  # greedy decode: subtract alpha*count(token)
 
     @nn.compact
-    def __call__(self, carry, xs):
+    def __call__(self, carry, xs, memory, emb_table):
         counts = None
         if self.mode == "greedy" and self.rep_penalty > 0:
-            h, c, x_t, memory, emb_table, counts = carry
+            h, c, x_t, counts = carry
         else:
-            h, c, x_t, memory, emb_table = carry
+            h, c, x_t = carry
         teacher_emb, coin = xs
 
         (h, c), o_t = LSTMCell(D_DEC, self.dtype, name="cell")((h, c), x_t)
@@ -160,7 +165,7 @@ class _DecoderStep(nn.Module):
                                             interpret=self.pallas_interpret)
             x_next = jnp.take(emb_table, ids_t, axis=0)
             x_next = nn.Dropout(self.p_drop)(x_next, deterministic=self.deterministic)
-            return (h, c, x_next, memory, emb_table), ids_t
+            return (h, c, x_next), ids_t
 
         logits_t = fn_2(nn.leaky_relu(fn_1(i_ffn), 0.1))
 
@@ -203,8 +208,8 @@ class _DecoderStep(nn.Module):
             out_t = logits_t
         x_next = nn.Dropout(self.p_drop)(x_next, deterministic=self.deterministic)
         if counts is not None:
-            return (h, c, x_next, memory, emb_table, counts), out_t
-        return (h, c, x_next, memory, emb_table), out_t
+            return (h, c, x_next, counts), out_t
+        return (h, c, x_next), out_t
 
 
 class DenoiseSeq2Seq(nn.Module):
@@ -298,7 +303,8 @@ class DenoiseSeq2Seq(nn.Module):
             step_cls,
             variable_broadcast="params",
             split_rngs={"dropout": True, "gumbel": True, "params": False},
-            in_axes=0,
+            # xs scans over time; memory / emb_table are loop invariants
+            in_axes=(0, nn.broadcast, nn.broadcast),
             out_axes=0,
         )
         rep = self.rep_penalty if mode == "greedy" else 0.0
@@ -318,10 +324,10 @@ class DenoiseSeq2Seq(nn.Module):
         )
         if rep > 0:
             counts0 = jnp.zeros((B, self.n_vocab), self.dtype)
-            carry0 = (h0, c0, x0, memory, emb_table, counts0)
+            carry0 = (h0, c0, x0, counts0)
         else:
-            carry0 = (h0, c0, x0, memory, emb_table)
-        _, outs = step(carry0, (teacher, coins))
+            carry0 = (h0, c0, x0)
+        _, outs = step(carry0, (teacher, coins), memory, emb_table)
         return jnp.swapaxes(outs, 0, 1)  # (B, L_out, V) or (B, L_out) ids
 
 
@@ -398,8 +404,8 @@ class BeamDenoiseSeq2Seq(DenoiseSeq2Seq):
         group = jnp.arange(B)[:, None] * K  # (B, 1) row offsets
 
         for t in range(L):
-            (h, c, _, _, _), logits_t = step(
-                (h, c, x_t, mem_rep, emb_table), (dummy_teacher, dummy_coin))
+            (h, c, _), logits_t = step(
+                (h, c, x_t), (dummy_teacher, dummy_coin), mem_rep, emb_table)
             logp = jax.nn.log_softmax(logits_t.astype(jnp.float32), axis=-1)
             total = (scores[:, None] + logp).reshape(B, K * self.n_vocab)
             scores, flat = jax.lax.top_k(total, K)            # (B, K)

@@ -22,6 +22,7 @@ dumps are resumed from when present, else initialized fresh.
 from __future__ import annotations
 
 import os
+import time
 from functools import partial
 
 import jax
@@ -147,9 +148,11 @@ def run_pretrain(cfg: Config, progress: bool = True) -> dict[str, str]:
         ftuple = tuple(flags[t] for t in TASKS)
         if not any(ftuple):
             break
+        ep_t0, ep_sent = time.time(), 0
         for batch, arrays in DevicePrefetcher(train_it, mesh):
             state, parts = train_step(state, arrays, key, step, ftuple)
             thru.add(cfg.batch_size)
+            ep_sent += cfg.batch_size
             if step % 50 == 0:
                 logger.log(step, **{f"{t}_loss": v for t, v in parts.items()},
                            **thru.rates())
@@ -165,6 +168,9 @@ def run_pretrain(cfg: Config, progress: bool = True) -> dict[str, str]:
                 sums[t] += float(v) * batch.valid
             weights += batch.valid
         val = {t: sums[t] / max(weights, 1) for t in TASKS if flags[t]}
+        # the float() fetches above forced completion of all queued work, so
+        # the epoch rate (train batches / wall incl. validation) is honest
+        ep_rate = ep_sent / max(time.time() - ep_t0, 1e-6)
         for t in TASKS:
             if not flags[t]:
                 continue
@@ -175,9 +181,11 @@ def run_pretrain(cfg: Config, progress: bool = True) -> dict[str, str]:
                 save_params(state.params[t], paths[t])
         val_loss = sum(v for v in best.values() if v != float("inf"))
         logger.log(step, val_loss=val_loss, epoch=epoch,
+                   epoch_sent_per_s=ep_rate,
                    **{f"val_{t}": val.get(t, float("nan")) for t in TASKS})
         if progress:
-            print(f"[pretrain] epoch {epoch} val_loss {val_loss:.4f} flags {flags}")
+            print(f"[pretrain] epoch {epoch} val_loss {val_loss:.4f} "
+                  f"{ep_rate:.1f} sent/s flags {flags}")
         if stopper.update(val_loss):
             break
 
