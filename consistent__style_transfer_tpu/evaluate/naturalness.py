@@ -11,11 +11,23 @@ from __future__ import annotations
 from .lexicon import l1_logistic_regression, load_model
 
 
-def train_adversarial_lr(tsf_sentences, ori_sentences, vectorizer):
+def train_adversarial_lr(tsf_sentences, ori_sentences, vectorizer,
+                         limit: int = 200_000, seed: int = 0):
+    """Reference parity: ``nt_classifier.py:17-25`` trains through
+    ``load_train_set`` which shuffles and caps each class at 200k sentences
+    (``evaluate/auto/utils.py:35-45``) — at the reference's 540k-lines/style
+    scale the cap is what keeps the L1-LR fit tractable."""
     import numpy as np
 
-    x = list(tsf_sentences) + list(ori_sentences)
-    y = np.concatenate([np.zeros(len(tsf_sentences)), np.ones(len(ori_sentences))])
+    rng = np.random.default_rng(seed)
+    tsf = list(tsf_sentences)
+    ori = list(ori_sentences)
+    if len(tsf) > limit:
+        tsf = [tsf[i] for i in rng.permutation(len(tsf))[:limit]]
+    if len(ori) > limit:
+        ori = [ori[i] for i in rng.permutation(len(ori))[:limit]]
+    x = tsf + ori
+    y = np.concatenate([np.zeros(len(tsf)), np.ones(len(ori))])
     lr = l1_logistic_regression(C=3)
     lr.fit(vectorizer.transform(x), y)
     return lr

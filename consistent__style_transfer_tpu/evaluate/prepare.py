@@ -39,11 +39,15 @@ def eval_paths(eval_dir: str, dataset: str, ver: str | None = None) -> dict:
 def run_prepare(data_dir: str, out_dir: str, eval_dir: str, dataset: str,
                 ver: str | None = None, seed: int = 0, quiet: bool = False) -> dict:
     """data_dir: <base>/data/<ds>; out_dir: <base>/output/<ds>-<ver>."""
+    import time
+
     p = eval_paths(eval_dir, dataset, ver)
     os.makedirs(p["dump"], exist_ok=True)
     os.makedirs(p["tmp"], exist_ok=True)
     os.makedirs(f"{p['dump']}/adv_models", exist_ok=True)
     say = (lambda *a: None) if quiet else print
+    timings: dict[str, float] = {}
+    t0 = time.time()
 
     # 1. style classifier
     if not os.path.exists(p["classifier"]):
@@ -62,8 +66,10 @@ def run_prepare(data_dir: str, out_dir: str, eval_dir: str, dataset: str,
         say("P@1\t{:.3f}".format(prec))
         say("R@1\t{:.3f}".format(rec))
         model.save_model(p["classifier"])
+    timings["classifier_s"] = round(time.time() - t0, 1)
 
     # 2. lexicon + masked word2vec
+    t0 = time.time()
     if not (os.path.exists(p["lexicon"]) and os.path.exists(p["vectorizer"])
             and os.path.exists(p["mask_w2v"])):
         say("\n<-GENERATING LEXICON & TRAINING WORD2VEC->")
@@ -71,15 +77,21 @@ def run_prepare(data_dir: str, out_dir: str, eval_dir: str, dataset: str,
             f"{data_dir}/style.train.0", f"{data_dir}/style.train.1",
             p["lexicon"], p["vectorizer"], seed=seed,
         )
+        timings["lexicon_s"] = round(time.time() - t0, 1)
+        t0 = time.time()
         texts = []
         for name in sorted(os.listdir(data_dir)):
             if ("train" in name or "dev" in name) and not name.endswith(".tsf"):
                 texts += read_lines(f"{data_dir}/{name}")
         masked = mask_style_words(texts, lexicon)
+        timings["mask_s"] = round(time.time() - t0, 1)
+        t0 = time.time()
         say("Training masked word2vec model...")
         train_masked_word2vec(masked, p["mask_w2v"], seed=seed)
+    timings["mask_w2v_s"] = round(time.time() - t0, 1)
 
     # 3. adversarial naturalness classifier (per model version)
+    t0 = time.time()
     if ver is not None and not os.path.exists(p["adv_model"]):
         say("\n<-TRAINING ADVERSARIAL CLASSIFIER->")
         tsf, ori = [], []
@@ -92,7 +104,10 @@ def run_prepare(data_dir: str, out_dir: str, eval_dir: str, dataset: str,
         write_lines(tsf, f"{p['tmp']}/{dataset}-{ver}.train.tsf")
         write_lines(ori, f"{p['tmp']}/{dataset}-{ver}.train.ori")
         vectorizer = load_model(p["vectorizer"])
-        lr = train_adversarial_lr(tsf, ori, vectorizer)
+        lr = train_adversarial_lr(tsf, ori, vectorizer, seed=seed)
         save_model(lr, p["adv_model"])
+    timings["adv_lr_s"] = round(time.time() - t0, 1)
+    say(f"[prepare] timings: {timings}")
 
+    p["timings"] = timings
     return p

@@ -56,9 +56,19 @@ def _tokens(text: str) -> list[str]:
 
 
 class FastTextClassifier:
+    """``sgd``: "sequential" replays fasttext's per-example SGD exactly (one
+    lax.scan step per example — faithful but O(N) sequential device steps);
+    "minibatch" applies ``batch_size`` per-example gradients computed on the
+    same (stale-within-batch) params — the synchronous analogue of fasttext's
+    async hogwild threads, ~batch_size× fewer device steps; "auto" (default)
+    picks minibatch above 20k examples, where the sequential scan dominates
+    eval-prep wall time (540k lines × 5 epochs at reference scale) and the
+    two are measured P@1-equivalent (tests/test_eval.py)."""
+
     def __init__(self, dim: int = 100, lr: float = 0.1, epochs: int = 5,
                  min_count: int = 1, batch_size: int = 256, seed: int = 0,
-                 max_len: int = 64):
+                 max_len: int = 64, sgd: str = "auto"):
+        self.sgd = sgd
         self.dim = dim
         self.lr = lr
         self.epochs = epochs
@@ -138,12 +148,57 @@ class FastTextClassifier:
                                             (eids, elens, eys))
             return emb, out, t
 
+        B = self.batch_size
+
+        @jax.jit
+        def run_epoch_batched(emb, out, eids, elens, eys, evalid, t0):
+            # eids (S, B, L) / elens (S, B) / eys (S, B) / evalid (S, B):
+            # per-example gradients on the batch-start params, applied
+            # together — the synchronous limit of fasttext's hogwild SGD.
+            def body(carry, xs):
+                emb, out, t = carry
+                rows, ns, yy, valid = xs
+                mask = (jnp.arange(self.max_len)[None, :]
+                        < ns[:, None].astype(jnp.int32))
+                vecs = jnp.take(emb, rows, axis=0)              # (B, L, D)
+                vecs = jnp.where(mask[..., None], vecs, 0.0)
+                hidden = vecs.sum(1) / ns[:, None]              # (B, D)
+                p = jax.nn.softmax(hidden @ out, axis=-1)       # (B, C)
+                err = p.at[jnp.arange(p.shape[0]), yy].add(-1.0)
+                err = err * valid[:, None]                      # pad rows: 0
+                lr = base_lr * jnp.maximum(1.0 - t / total, 1e-4)
+                g_hidden = err @ out.T                          # (B, D)
+                out = out - lr * hidden.T @ err
+                upd = jnp.where(mask[..., None],
+                                -lr * g_hidden[:, None, :] / ns[:, None, None],
+                                0.0)
+                emb = emb.at[rows].add(upd)
+                return (emb, out, t + valid.sum()), None
+
+            (emb, out, t), _ = jax.lax.scan(
+                body, (emb, out, t0), (eids, elens, eys, evalid))
+            return emb, out, t
+
+        use_batched = (self.sgd == "minibatch"
+                       or (self.sgd == "auto" and N > 20_000))
         emb_j, out_j = jnp.asarray(emb), jnp.asarray(out)
         t = jnp.float32(0)
         for _ in range(self.epochs):
             order = rng.permutation(N)
-            emb_j, out_j, t = run_epoch(emb_j, out_j, ids[order], lens[order],
-                                        y[order], t)
+            if use_batched:
+                pad = (-N) % B
+                o = np.concatenate([order, np.zeros(pad, order.dtype)])
+                valid = np.concatenate(
+                    [np.ones(N, np.float32), np.zeros(pad, np.float32)])
+                S = len(o) // B
+                emb_j, out_j, t = run_epoch_batched(
+                    emb_j, out_j,
+                    ids[o].reshape(S, B, self.max_len),
+                    lens[o].reshape(S, B), y[o].reshape(S, B),
+                    valid.reshape(S, B), t)
+            else:
+                emb_j, out_j, t = run_epoch(emb_j, out_j, ids[order],
+                                            lens[order], y[order], t)
         self.emb = np.array(emb_j)  # copy: jax buffers are read-only
         self.emb[0] = 0
         self.out = np.array(out_j)

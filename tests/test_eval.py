@@ -80,6 +80,57 @@ def test_fasttext_classifier_learns(styled_corpus, tmp_path):
     assert m2.predict("service felt amazing .", k=1)[0][0] == "__label__1"
 
 
+def test_fasttext_minibatch_matches_sequential(styled_corpus, tmp_path):
+    """The minibatch SGD path (used above 20k examples, where the
+    per-example scan dominates eval-prep wall time) must reach the same
+    dev accuracy as the faithful sequential replay."""
+    from consistent__style_transfer_tpu.text.fasttext_cls import FastTextClassifier
+
+    labels, texts = [], []
+    for lab in (0, 1):
+        for line in open(f"{styled_corpus}/style.train.{lab}"):
+            labels.append(f"__label__{lab}")
+            texts.append(line.strip())
+
+    dev = tmp_path / "dev.txt"
+    dev_lines = []
+    for lab in (0, 1):
+        for line in open(f"{styled_corpus}/style.dev.{lab}"):
+            dev_lines.append(f"__label__{lab}\t{line.strip()}")
+    dev.write_text("\n".join(dev_lines) + "\n")
+
+    seq = FastTextClassifier(epochs=8, sgd="sequential").fit(texts, labels)
+    mb = FastTextClassifier(epochs=8, sgd="minibatch", batch_size=64).fit(
+        texts, labels)
+    _, p_seq, _ = seq.test(str(dev))
+    _, p_mb, _ = mb.test(str(dev))
+    assert abs(p_seq - p_mb) < 0.06, (p_seq, p_mb)
+    assert p_mb > 0.75
+
+
+def test_adversarial_lr_cap(styled_corpus):
+    """train_adversarial_lr caps each class at ``limit`` shuffled sentences
+    (reference load_train_set semantics) without changing small-corpus
+    behavior."""
+    import numpy as np
+
+    from consistent__style_transfer_tpu.evaluate.lexicon import fit_unigram_lr
+    from consistent__style_transfer_tpu.evaluate.naturalness import (
+        train_adversarial_lr,
+    )
+
+    tsf = [f"transferred sentence {i} odd words" for i in range(50)]
+    ori = [f"original sentence {i} usual words" for i in range(50)]
+    _, vectorizer = fit_unigram_lr(
+        tsf + ori, np.concatenate([np.zeros(50), np.ones(50)]))
+    capped = train_adversarial_lr(tsf, ori, vectorizer, limit=10)
+    full = train_adversarial_lr(tsf, ori, vectorizer)
+    # capped model trained on 10+10 docs; both are fitted binary LRs
+    assert capped.classes_.tolist() == full.classes_.tolist() == [0.0, 1.0]
+    # the cap is a real subsample: coefficient vectors differ
+    assert not np.allclose(capped.coef_, full.coef_)
+
+
 def test_fasttext_test_multilabel_pr(styled_corpus, tmp_path):
     """fasttext ``model.test`` semantics: P@1 = correct/N, R@1 =
     correct/total-gold — equal on single-label files, DIFFERENT when lines
