@@ -181,9 +181,9 @@ def main() -> None:
     eval_dir = f"{base}/evaluate_runtime"
     run_out = f"{base}/output/{args.dataset}-{args.ver}"
     t0 = time.time()
-    run_prepare(ds_dir, run_out, eval_dir, args.dataset, ver=args.ver,
-                seed=cfg.seed)
-    record("eval_prepare", time.time() - t0)
+    pp = run_prepare(ds_dir, run_out, eval_dir, args.dataset, ver=args.ver,
+                     seed=cfg.seed)
+    record("eval_prepare", time.time() - t0, **pp.get("timings", {}))
 
     t0 = time.time()
     metrics = run_eval(ds_dir, run_out, eval_dir, args.dataset, args.ver)
