@@ -114,26 +114,39 @@ def collate_warmup(max_len: int, p: float = 0.1):
     return fn
 
 
-def collate_pretrain(max_len: int, wmd_labeler, p: float = 0.15):
+def collate_pretrain(max_len: int, wmd_labeler, p: float = 0.15,
+                     need_matcher=None):
     """``wmd_labeler.label_pairs(ids1, lens1, ids2, lens2) -> (B,) float32`` —
     either the exact host labeler or the batched on-device Sinkhorn labeler
     (:mod:`consistent__style_transfer_tpu.data.wmd_labels`). Noised rows can
     exceed max_len (insertions); like the reference we keep them at their own
-    (static) width ``noise_len = max_len + max(4, max_len // 2)``."""
+    (static) width ``noise_len = max_len + max(4, max_len // 2)``.
+
+    ``need_matcher`` (nullary callable, default always-True) gates the
+    matcher-only batch work: once pretrain's freeze-on-plateau turns the
+    matcher off, its inputs — the two transfer_noise variants and the WMD
+    label (a per-batch device Sinkhorn solve, the collate's dominant cost) —
+    are dead weight for every remaining epoch; zeros of the same
+    shape/dtype keep the jit signature stable at ~none of the cost."""
     noise_len = max_len + max(4, max_len // 2)
 
     def fn(ids, lens, labels, rng):
-        nx1, nl1 = transfer_noise_arrays(ids, lens, p=p, rng=rng,
-                                         out_len=noise_len, pad_id=PAD_ID)
-        nx2, nl2 = transfer_noise_arrays(ids, lens, p=p, rng=rng,
-                                         out_len=noise_len, pad_id=PAD_ID)
+        if need_matcher is None or need_matcher():
+            nx1, nl1 = transfer_noise_arrays(ids, lens, p=p, rng=rng,
+                                             out_len=noise_len, pad_id=PAD_ID)
+            nx2, nl2 = transfer_noise_arrays(ids, lens, p=p, rng=rng,
+                                             out_len=noise_len, pad_id=PAD_ID)
+            # device-resident labelers (Sinkhorn) return jax arrays — keep
+            # them on device; host labelers (exact OT) return numpy. Both
+            # flow through shard_batch unchanged.
+            wmd = wmd_labeler.label_pairs(nx1, nl1, nx2, nl2)
+            if isinstance(wmd, np.ndarray):
+                wmd = wmd.astype(np.float32)
+        else:
+            B = len(ids)
+            nx1 = nx2 = np.zeros((B, noise_len), dtype=ids.dtype)
+            wmd = np.zeros(B, np.float32)
         nx3 = rand_perm_arrays(ids, lens, p=p, rng=rng)
-        # device-resident labelers (Sinkhorn) return jax arrays — keep them
-        # on device; host labelers (exact OT) return numpy. Both flow through
-        # shard_batch unchanged.
-        wmd = wmd_labeler.label_pairs(nx1, nl1, nx2, nl2)
-        if isinstance(wmd, np.ndarray):
-            wmd = wmd.astype(np.float32)
         return {
             "x": ids, "nx1": nx1, "nx2": nx2, "nx3": nx3,
             "labels": labels.astype(np.int32), "wmd": wmd, "lengths": lens,
@@ -157,14 +170,17 @@ def eval_arrays(batch: Batch) -> dict:
 
 
 def make_batches(corpus: StyleCorpus, batch_size: int, max_len: int, stage: str,
-                 shuffle: bool, seed: int = 0, wmd_labeler=None, noise_p: float | None = None):
+                 shuffle: bool, seed: int = 0, wmd_labeler=None, noise_p: float | None = None,
+                 need_matcher=None):
     if stage == "optimize":
         collate = collate_optimize(max_len)
     elif stage == "warmup":
         collate = collate_warmup(max_len, p=noise_p if noise_p is not None else 0.1)
     elif stage == "pretrain":
         assert wmd_labeler is not None
-        collate = collate_pretrain(max_len, wmd_labeler, p=noise_p if noise_p is not None else 0.15)
+        collate = collate_pretrain(max_len, wmd_labeler,
+                                   p=noise_p if noise_p is not None else 0.15,
+                                   need_matcher=need_matcher)
     else:
         raise ValueError(stage)
     return BatchIterator(corpus, batch_size, max_len, collate, shuffle=shuffle, seed=seed)

@@ -112,10 +112,18 @@ def run_pretrain(cfg: Config, progress: bool = True) -> dict[str, str]:
 
     train_corpus = get_corpus(cfg, "train", tokenizer)
     dev_corpus = get_corpus(cfg, "dev", tokenizer)
+    # once freeze-on-plateau turns the matcher off, its collate inputs (two
+    # transfer_noise variants + the per-batch device Sinkhorn WMD solve) are
+    # dead weight for every remaining epoch — at 270k-sentences/style scale
+    # the post-freeze majority of pretrain; both iterators skip them then
+    flags = {t: True for t in TASKS}
+    need_matcher = lambda: flags["mat"]  # noqa: E731
     train_it = make_batches(train_corpus, cfg.batch_size, cfg.max_len, "pretrain",
-                            shuffle=True, seed=cfg.seed, wmd_labeler=labeler)
+                            shuffle=True, seed=cfg.seed, wmd_labeler=labeler,
+                            need_matcher=need_matcher)
     dev_it = make_batches(dev_corpus, cfg.batch_size, cfg.max_len, "pretrain",
-                          shuffle=False, seed=cfg.seed, wmd_labeler=labeler)
+                          shuffle=False, seed=cfg.seed, wmd_labeler=labeler,
+                          need_matcher=need_matcher)
 
     V = len(tokenizer)
     models = {"cls": build_classifier(cfg, V), "mat": build_matcher(cfg, V),
@@ -139,7 +147,6 @@ def run_pretrain(cfg: Config, progress: bool = True) -> dict[str, str]:
     train_step, eval_step = make_pretrain_steps(models)
     logger = RunLogger(f"{cfg.log_dir}/{cfg.dataset}", "pretrain", config=cfg)
     stopper = EarlyStopper(cfg.pretrain_patience)
-    flags = {t: True for t in TASKS}
     best = {t: float("inf") for t in TASKS}
     thru = Throughput()
 

@@ -135,3 +135,35 @@ def test_rand_perm_arrays_rate(rng):
     out = rand_perm_arrays(ids, lens, p=0.15, rng=rng)
     changed = (out != ids).mean()
     assert 0.05 < changed < 0.25
+
+
+def test_collate_pretrain_skips_matcher_work_when_frozen(rng):
+    """Once the matcher freezes, the pretrain collate must not run the two
+    transfer_noise draws or the per-batch WMD label solve (dead weight for
+    every post-freeze epoch); the jit signature stays stable via zeros."""
+    from consistent__style_transfer_tpu.data.pipeline import collate_pretrain
+
+    calls = []
+
+    class SpyLabeler:
+        def label_pairs(self, nx1, nl1, nx2, nl2):
+            calls.append(1)
+            return np.ones(len(nx1), np.float32)
+
+    ids, lens = _padded(rng)
+    labels = np.zeros(len(ids), np.int64)
+
+    need = [True]
+    fn = collate_pretrain(18, SpyLabeler(), need_matcher=lambda: need[0])
+    hot = fn(ids, lens, labels, rng)
+    assert calls == [1]
+    assert hot["nx1"].shape == (len(ids), 27) and hot["wmd"].shape == (len(ids),)
+
+    need[0] = False
+    cold = fn(ids, lens, labels, rng)
+    assert calls == [1]  # labeler NOT called again
+    assert (cold["nx1"] == 0).all() and (cold["nx2"] == 0).all()
+    assert (cold["wmd"] == 0).all()
+    # same shapes/dtypes -> same XLA program signature
+    for k in hot:
+        assert hot[k].shape == cold[k].shape and hot[k].dtype == cold[k].dtype
