@@ -84,18 +84,24 @@ class OptimizeModels:
 
 def load_frozen(cfg: Config, models: OptimizeModels, key):
     """Frozen pretrain scorers; required like the reference (missing dumps are
-    an error there too)."""
+    an error there too).
+
+    Checkpoint templates are built with ``jax.eval_shape``: a real ``init``
+    runs initializer-by-initializer on the device (tens of seconds of
+    per-op round trips on a tunneled chip) only to be overwritten by the
+    deserialized weights — the abstract tree carries the same structure at
+    zero device cost."""
     pre = os.path.join(cfg.ds_dump_dir, "pretrain")
     B0, L0 = 2, cfg.max_len
     x0 = jnp.zeros((B0, L0), jnp.int32)
     n0 = jnp.zeros((B0, L0 + L0 // 2), jnp.int32)
     kc, km, kd = jax.random.split(key, 3)
     cls = load_params(os.path.join(pre, "cls.msgpack"),
-                      models.classifier.init(kc, x0))
+                      jax.eval_shape(models.classifier.init, kc, x0))
     mat = load_params(os.path.join(pre, "mat.msgpack"),
-                      models.matcher.init(km, n0, n0))
+                      jax.eval_shape(models.matcher.init, km, n0, n0))
     nt = load_params(os.path.join(pre, "dn.msgpack"),
-                     models.nt_checker.init(kd, x0))
+                     jax.eval_shape(models.nt_checker.init, kd, x0))
     return {"cls": cls, "mat": mat, "nt": nt}
 
 
@@ -107,7 +113,13 @@ def load_generator_params(cfg: Config, models: OptimizeModels, key):
     l0 = jnp.zeros((B0,), jnp.int32)
     from .warmup import warmup_ckpt_name
 
-    template = models.generator.init(key, x0, l0, None, l0, deterministic=True)
+    # abstract template for checkpoint loads (a real init would replay every
+    # initializer op-by-op through the device — ~80 s for the transformer
+    # backbone on a tunneled chip); a REAL init happens only on the fresh
+    # no-checkpoint fallback below
+    template = jax.eval_shape(
+        lambda: models.generator.init(key, x0, l0, None, l0,
+                                      deterministic=True))
     task_dump = os.path.join(cfg.ds_dump_dir, f"optimize-{cfg.ver}")
     warm = os.path.join(cfg.ds_dump_dir, "warmup", warmup_ckpt_name(cfg))
     if cfg.mode == "test":
@@ -117,7 +129,7 @@ def load_generator_params(cfg: Config, models: OptimizeModels, key):
         return load_params(warm, template)
     if params_exist(warm):
         return load_params(warm, template)
-    return template
+    return models.generator.init(key, x0, l0, None, l0, deterministic=True)
 
 
 class OptimizeSteps(NamedTuple):
