@@ -39,6 +39,10 @@ def main() -> None:
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--w-copy", type=float, default=None)
     ap.add_argument("--w-copy-decay", type=float, default=None)
+    ap.add_argument("--warmup-epochs", type=int, default=None)
+    ap.add_argument("--recombine", type=float, default=0.0,
+                    help="same-style splice fraction for the synthetic "
+                    "corpus (tools/make_synthetic_train.py --recombine)")
     ap.add_argument("--skip-done", action="store_true",
                     help="skip stages whose artifacts already exist")
     args = ap.parse_args()
@@ -63,10 +67,13 @@ def main() -> None:
     ds_dir = f"{data_dir}/{args.dataset}"
     t0 = time.time()
     if not os.path.exists(f"{ds_dir}/style.train.0"):
-        subprocess.run([
+        cmd = [
             sys.executable, os.path.join(ROOT, "tools", "make_synthetic_train.py"),
             args.dataset, "--dst", data_dir, "--mult", str(args.mult),
-        ], check=True)
+        ]
+        if args.recombine:
+            cmd += ["--recombine", str(args.recombine)]
+        subprocess.run(cmd, check=True)
     # dev/test/reference files come straight from the committed corpus
     for name in os.listdir(os.path.join(ROOT, "data", args.dataset)):
         if name.startswith("style.train."):
@@ -99,6 +106,8 @@ def main() -> None:
             cfg.w_copy = args.w_copy
         if args.w_copy_decay is not None:
             cfg.w_copy_decay = args.w_copy_decay
+        if args.warmup_epochs is not None:
+            cfg.warmup_epochs = args.warmup_epochs
         return cfg
 
     cfg = cfg_for()
