@@ -76,3 +76,32 @@ def test_early_stopper_patience():
     assert not s2.update(1.5)
     assert not s2.update(0.5)  # recovery resets
     assert not s2.update(0.9)
+
+
+def test_load_params_with_eval_shape_template():
+    """Checkpoint templates may be abstract (jax.eval_shape) trees — the
+    production loaders use them to skip the op-by-op device init replay
+    (train/optimize.py::load_frozen / load_generator_params)."""
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from consistent__style_transfer_tpu.train.state import load_params, save_params
+
+    def init():
+        return {"params": {"w": jnp.arange(6, dtype=jnp.float32).reshape(2, 3),
+                           "b": jnp.ones((3,), jnp.float32)}}
+
+    real = init()
+    with tempfile.TemporaryDirectory() as td:
+        path = f"{td}/p.msgpack"
+        save_params(real, path)
+        abstract = jax.eval_shape(init)
+        loaded = load_params(path, abstract)
+    assert np.allclose(loaded["params"]["w"], np.arange(6).reshape(2, 3))
+    assert np.allclose(loaded["params"]["b"], 1.0)
+    # restored leaves are concrete arrays, not ShapeDtypeStructs
+    assert all(hasattr(x, "dtype") and not isinstance(x, jax.ShapeDtypeStruct)
+               for x in jax.tree.leaves(loaded))
