@@ -132,6 +132,9 @@ def main() -> None:
     # pipeline (RESULTS.md bf16 A/B: cp_base vs cp_base_bf16 within noise on
     # all five metrics) and ~21% faster; TPUST_BENCH_DTYPE=float32 reverts
     cfg.dtype = os.environ.get("TPUST_BENCH_DTYPE", "bfloat16")
+    # TPUST_BENCH_BACKBONE=transformer benches the stretch backbone
+    # (BASELINE.json configs[4]) on the same workload
+    cfg.backbone = os.environ.get("TPUST_BENCH_BACKBONE", cfg.backbone)
     if os.environ.get("TPUST_BENCH_BATCH"):
         B = int(os.environ["TPUST_BENCH_BATCH"])
     n_dev = len(jax.devices())
@@ -163,10 +166,12 @@ def main() -> None:
 
     import jax.numpy as jnp  # noqa: F811
 
+    from consistent__style_transfer_tpu.train.common import generator_call
+
     @jax.jit
     def decode(params, x, labels):
-        return models.generator.apply(params, x, labels, None, 1 - labels,
-                                      mode="greedy", deterministic=True)
+        return generator_call(models.generator, params, x, labels, None,
+                              1 - labels, mode="greedy", deterministic=True)
 
     rng = np.random.default_rng(0)
     batch = shard_batch({
