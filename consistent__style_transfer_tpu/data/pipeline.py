@@ -127,7 +127,13 @@ def collate_pretrain(max_len: int, wmd_labeler, p: float = 0.15,
     matcher off, its inputs — the two transfer_noise variants and the WMD
     label (a per-batch device Sinkhorn solve, the collate's dominant cost) —
     are dead weight for every remaining epoch; zeros of the same
-    shape/dtype keep the jit signature stable at ~none of the cost."""
+    shape/dtype keep the jit signature stable at ~none of the cost.
+
+    Note the host RNG stream advances differently once gated (the two
+    skipped transfer_noise draws no longer consume it), so post-freeze
+    rand_perm noise differs from an ungated run at the same seed — a
+    deliberate trade: noise draws are augmentation, not a reproducibility
+    contract across code versions."""
     noise_len = max_len + max(4, max_len // 2)
 
     def fn(ids, lens, labels, rng):

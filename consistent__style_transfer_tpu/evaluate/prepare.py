@@ -66,7 +66,7 @@ def run_prepare(data_dir: str, out_dir: str, eval_dir: str, dataset: str,
         say("P@1\t{:.3f}".format(prec))
         say("R@1\t{:.3f}".format(rec))
         model.save_model(p["classifier"])
-    timings["classifier_s"] = round(time.time() - t0, 1)
+        timings["classifier_s"] = round(time.time() - t0, 1)
 
     # 2. lexicon + masked word2vec
     t0 = time.time()
@@ -88,7 +88,7 @@ def run_prepare(data_dir: str, out_dir: str, eval_dir: str, dataset: str,
         t0 = time.time()
         say("Training masked word2vec model...")
         train_masked_word2vec(masked, p["mask_w2v"], seed=seed)
-    timings["mask_w2v_s"] = round(time.time() - t0, 1)
+        timings["mask_w2v_s"] = round(time.time() - t0, 1)
 
     # 3. adversarial naturalness classifier (per model version)
     t0 = time.time()
@@ -106,7 +106,9 @@ def run_prepare(data_dir: str, out_dir: str, eval_dir: str, dataset: str,
         vectorizer = load_model(p["vectorizer"])
         lr = train_adversarial_lr(tsf, ori, vectorizer, seed=seed)
         save_model(lr, p["adv_model"])
-    timings["adv_lr_s"] = round(time.time() - t0, 1)
+        timings["adv_lr_s"] = round(time.time() - t0, 1)
+    # keys appear only for substages that actually ran (idempotent skips
+    # would otherwise record misleading ~0.0 s entries)
     say(f"[prepare] timings: {timings}")
 
     p["timings"] = timings

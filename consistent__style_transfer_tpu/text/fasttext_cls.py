@@ -154,8 +154,6 @@ class FastTextClassifier:
                                             (eids, elens, eys))
             return emb, out, t
 
-        B = self.batch_size
-
         @jax.jit
         def run_epoch_batched(emb, out, eids, elens, eys, evalid, t0):
             # eids (S, B, L) / elens (S, B) / eys (S, B) / evalid (S, B):
@@ -189,6 +187,9 @@ class FastTextClassifier:
                        or (self.sgd == "auto" and N > 20_000))
 
         def train_once(B: int):
+            """One full training attempt; bails out (returning non-finite
+            tables) at the first epoch whose params went NaN — a diverged
+            minibatch run must not waste the remaining epochs' device scans."""
             rng_e = np.random.default_rng(self.seed + 1)
             emb_j, out_j = jnp.asarray(emb), jnp.asarray(out)
             t = jnp.float32(0)
@@ -205,22 +206,27 @@ class FastTextClassifier:
                         ids[o].reshape(S, B, self.max_len),
                         lens[o].reshape(S, B), y[o].reshape(S, B),
                         valid.reshape(S, B), t)
+                    if not np.isfinite(float(out_j[0, 0])):
+                        break
                 else:
                     emb_j, out_j, t = run_epoch(emb_j, out_j, ids[order],
                                                 lens[order], y[order], t)
             return np.array(emb_j), np.array(out_j)
 
+        # the divergence retry only makes sense for the minibatch path (the
+        # sequential replay is deterministic in B, so retrying it would just
+        # repeat the identical fit)
         B = self.batch_size
-        for _ in range(3):
+        attempts = [B, max(B // 4, 1), max(B // 16, 1)] if use_batched else [B]
+        for B in attempts:
             emb_np, out_np = train_once(B)
             if np.isfinite(emb_np).all() and np.isfinite(out_np).all():
                 break
-            # full-lr hogwild-style batch update diverged; shrink the batch
-            B = max(B // 4, 1)
         else:
             raise ValueError(
-                f"fasttext SGD diverged even at batch_size={B}; "
-                "pass sgd='sequential'")
+                f"fasttext SGD diverged (batch sizes tried: {attempts}); "
+                + ("pass sgd='sequential'" if use_batched
+                   else "inputs produce a non-finite sequential fit"))
         self.emb = emb_np  # np.array copies: jax buffers are read-only
         self.emb[0] = 0
         self.out = out_np

@@ -66,7 +66,22 @@ def main() -> None:
     data_dir = f"{base}/data"
     ds_dir = f"{data_dir}/{args.dataset}"
     t0 = time.time()
-    if not os.path.exists(f"{ds_dir}/style.train.0"):
+    corpus_meta = {"mult": args.mult, "recombine": args.recombine}
+    meta_path = f"{ds_dir}/corpus_meta.json"
+    if os.path.exists(f"{ds_dir}/style.train.0"):
+        # guard against silently measuring a stale corpus: an existing train
+        # file generated with different --mult/--recombine invalidates the run
+        old = {}
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                old = json.load(f)
+        if old != corpus_meta:
+            raise SystemExit(
+                f"{ds_dir} already holds a synthetic corpus generated with "
+                f"{old or 'unknown parameters'}, but this run asked for "
+                f"{corpus_meta}; use a fresh --base (or delete the corpus) "
+                "instead of measuring the stale one")
+    else:
         cmd = [
             sys.executable, os.path.join(ROOT, "tools", "make_synthetic_train.py"),
             args.dataset, "--dst", data_dir, "--mult", str(args.mult),
@@ -74,6 +89,9 @@ def main() -> None:
         if args.recombine:
             cmd += ["--recombine", str(args.recombine)]
         subprocess.run(cmd, check=True)
+        os.makedirs(ds_dir, exist_ok=True)
+        with open(meta_path, "w") as f:
+            json.dump(corpus_meta, f)
     # dev/test/reference files come straight from the committed corpus
     for name in os.listdir(os.path.join(ROOT, "data", args.dataset)):
         if name.startswith("style.train."):
