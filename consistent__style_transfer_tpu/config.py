@@ -101,6 +101,14 @@ class Config:
     # pressure skips style-bearing words. Uniform copy measurably collapses
     # transfer accuracy (RESULTS.md cp_copy03: ACC 0.97 -> 0.47).
 
+    # scorer (Matcher/LM) size overrides — None keeps the reference dims
+    # (6L/8H/512, src/model/{match,mlm}.py constants). CI and the driver's
+    # multichip gate shrink these: TP sharding rules only need dims divisible
+    # by the model axis, not the full 6-layer towers.
+    scorer_layers: int | None = None
+    scorer_d_model: int | None = None
+    scorer_heads: int | None = None
+
     # derived paths
     @property
     def ds_data_dir(self) -> str:

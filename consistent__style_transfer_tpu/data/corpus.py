@@ -32,6 +32,43 @@ def _read_lines(path: str) -> tuple[list[str], int]:
     return [l for l in lines if l], label
 
 
+def validate_style_file(path: str) -> dict:
+    """Validate a (possibly real/user-provided) corpus file against the
+    reference's drop-in contract (``src/loader.py:10-40``): filename suffix
+    parses as the integer style id, UTF-8 text, one sentence per line, at
+    least one non-empty line. Returns stats the caller can log — this is the
+    tested seam for swapping real ``style.train.{0,1}`` corpora in for the
+    committed synthetic stand-ins.
+
+    Raises ``ValueError`` with an actionable message on contract violations
+    (loading would otherwise fail later or — worse — silently train on an
+    empty split)."""
+    if not os.path.exists(path):
+        raise ValueError(f"corpus file missing: {path}")
+    suffix = path.split(".")[-1]
+    try:
+        label = int(suffix)
+    except ValueError:
+        raise ValueError(
+            f"{path}: filename must end in the integer style id "
+            "(style.<split>.<label>, reference src/loader.py:34-40); "
+            f"got suffix {suffix!r}") from None
+    try:
+        lines, _ = _read_lines(path)
+    except UnicodeDecodeError as e:
+        raise ValueError(f"{path}: not valid UTF-8 text ({e})") from None
+    if not lines:
+        raise ValueError(f"{path}: no non-empty lines — training on an "
+                         "empty split would silently produce a dead model")
+    n_tok = [len(l.split()) for l in lines]
+    return {
+        "label": label,
+        "n_lines": len(lines),
+        "max_words": max(n_tok),
+        "mean_words": round(sum(n_tok) / len(n_tok), 2),
+    }
+
+
 def load_s2l(path: str, encode_fn) -> list[tuple[list[int], int]]:
     """Ragged (encoded sentence, label) pairs — the slow per-line path, kept
     for tools and the pure-Python tokenizer fallback."""

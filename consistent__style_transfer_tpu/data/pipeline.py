@@ -150,7 +150,10 @@ def collate_pretrain(max_len: int, wmd_labeler, p: float = 0.15,
                 wmd = wmd.astype(np.float32)
         else:
             B = len(ids)
-            nx1 = nx2 = np.zeros((B, noise_len), dtype=ids.dtype)
+            # two separate arrays: the frozen matcher never reads these, but
+            # an aliased pair would let an in-place consumer corrupt both
+            nx1 = np.zeros((B, noise_len), dtype=ids.dtype)
+            nx2 = np.zeros((B, noise_len), dtype=ids.dtype)
             wmd = np.zeros(B, np.float32)
         nx3 = rand_perm_arrays(ids, lens, p=p, rng=rng)
         return {

@@ -23,18 +23,23 @@ class TransformerLM(nn.Module):
     n_vocab: int
     n_class: int = 2  # kept for constructor parity; unused like the reference
     dtype: jnp.dtype = jnp.float32
+    # sizes default to the reference constants (mlm.py:5-7); overridable so
+    # CI / the driver's multichip gate can exercise the same code at tiny dims
+    d_model: int = D_MODEL
+    n_heads: int = N_HEAD
+    n_layers: int = N_LAYER
 
     @nn.compact
     def __call__(self, inputs, deterministic: bool = True):
-        tok = nn.Embed(self.n_vocab, D_MODEL, embedding_init=embedding_init,
+        tok = nn.Embed(self.n_vocab, self.d_model, embedding_init=embedding_init,
                        dtype=self.dtype, name="token_embedding")
-        pos = nn.Embed(MAX_POS, D_MODEL, embedding_init=xavier_uniform,
+        pos = nn.Embed(MAX_POS, self.d_model, embedding_init=xavier_uniform,
                        dtype=self.dtype, name="posit_embedding")
         L = inputs.shape[1]
         e = embed_or_project(inputs, tok.embedding.astype(self.dtype))
         e = e + pos(jnp.arange(L))[None, :, :]
-        h = TransformerEncoder(N_LAYER, D_MODEL, N_HEAD, dtype=self.dtype,
-                               name="lm")(e, deterministic)
+        h = TransformerEncoder(self.n_layers, self.d_model, self.n_heads,
+                               dtype=self.dtype, name="lm")(e, deterministic)
         return nn.Dense(self.n_vocab, kernel_init=linear_kernel_init,
-                        bias_init=linear_bias_init(D_MODEL), dtype=self.dtype,
+                        bias_init=linear_bias_init(self.d_model), dtype=self.dtype,
                         name="fwd")(h)

@@ -22,14 +22,19 @@ MAX_POS = 100
 class PairMatcher(nn.Module):
     n_vocab: int
     dtype: jnp.dtype = jnp.float32
+    # sizes default to the reference constants (match.py:10-42); overridable
+    # so CI / the driver's multichip gate can exercise the code at tiny dims
+    d_model: int = D_MODEL
+    n_heads: int = N_HEAD
+    n_layers: int = N_LAYER
 
     @nn.compact
     def __call__(self, x1, x2, deterministic: bool = True):
-        tok = nn.Embed(self.n_vocab, D_MODEL, embedding_init=embedding_init,
+        tok = nn.Embed(self.n_vocab, self.d_model, embedding_init=embedding_init,
                        dtype=self.dtype, name="token_embedding")
-        pos = nn.Embed(MAX_POS, D_MODEL, embedding_init=embedding_init,
+        pos = nn.Embed(MAX_POS, self.d_model, embedding_init=embedding_init,
                        dtype=self.dtype, name="posit_embedding")
-        seg = nn.Embed(2, D_MODEL, embedding_init=embedding_init,
+        seg = nn.Embed(2, self.d_model, embedding_init=embedding_init,
                        dtype=self.dtype, name="segment_embedding")
         table = tok.embedding.astype(self.dtype)
 
@@ -39,10 +44,10 @@ class PairMatcher(nn.Module):
             return e + seg(jnp.full((x.shape[0],), seg_id, jnp.int32))[:, None, :]
 
         h = jnp.concatenate([embed(x1, 0), embed(x2, 1)], axis=1)
-        h = TransformerEncoder(N_LAYER, D_MODEL, N_HEAD, dtype=self.dtype,
-                               name="matcher")(h, deterministic)
+        h = TransformerEncoder(self.n_layers, self.d_model, self.n_heads,
+                               dtype=self.dtype, name="matcher")(h, deterministic)
         pooled = jnp.max(h, axis=1)
         out = nn.Dense(1, kernel_init=linear_kernel_init,
-                       bias_init=linear_bias_init(D_MODEL), dtype=self.dtype,
+                       bias_init=linear_bias_init(self.d_model), dtype=self.dtype,
                        name="hidden2logits")(pooled)
         return out[:, 0]

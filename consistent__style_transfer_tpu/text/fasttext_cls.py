@@ -65,15 +65,26 @@ class FastTextClassifier:
     eval-prep wall time (540k lines × 5 epochs at reference scale) and the
     two are measured P@1-equivalent (tests/test_eval.py).
 
-    ``batch_size`` defaults to 64: B per-example gradients land at FULL lr
-    per scan step (hogwild semantics, not a mean), so the stable region is
-    bounded — measured on the 32k-line yelp corpus, B=64 converges to P@1
-    0.9995 while B=256 diverges to NaN. ``fit`` additionally verifies the
-    trained tables are finite and retries at B/4 if not."""
+    B per-example gradients land at FULL lr per scan step (hogwild
+    semantics, not a mean), which un-clipped enters a divergent feedback
+    loop for large B — so each scan step clips the batch update's global
+    norm to ``clip * B`` (a per-example gradient-norm budget; healthy
+    per-example norms are ~0.1-0.5, so the cap only binds in the blowup
+    regime and the converged fit is unchanged). Measured on the 540k-line
+    rehearsal corpus: with the clip, B=256 — which previously NaN'd — fits
+    to dev P@1 0.9995. ``batch_size`` still defaults to 64 because epoch
+    device time is B-independent (one scan dispatch per epoch, equal total
+    work: 6.5 s/epoch at B=64 and B=256) while XLA compile of the scan body
+    grows steeply with B (~1 s at B=64 vs ~148 s at B=256 on the tunneled
+    chip) — B=64 is strictly cheaper, and the clip now guarantees any B.
+    ``fit`` additionally verifies the trained tables are finite and retries
+    at B/4 then B/16 as a backstop, logging every retry; the SGD path and
+    batch size that produced the fit are recorded in ``fit_meta`` and saved
+    with the model so eval-metric provenance stays auditable."""
 
     def __init__(self, dim: int = 100, lr: float = 0.1, epochs: int = 5,
                  min_count: int = 1, batch_size: int = 64, seed: int = 0,
-                 max_len: int = 64, sgd: str = "auto"):
+                 max_len: int = 64, sgd: str = "auto", clip: float = 1.0):
         self.sgd = sgd
         self.dim = dim
         self.lr = lr
@@ -82,10 +93,12 @@ class FastTextClassifier:
         self.batch_size = batch_size
         self.seed = seed
         self.max_len = max_len
+        self.clip = clip
         self.vocab: dict[str, int] = {}
         self.labels: list[str] = []
         self.emb: np.ndarray | None = None   # (V+1, D); row 0 = pad
         self.out: np.ndarray | None = None   # (D, n_labels)
+        self.fit_meta: dict = {}             # sgd path / batch size provenance
 
     # ------------------------------------------------------------------ train
     def fit_file(self, path: str) -> "FastTextClassifier":
@@ -154,11 +167,20 @@ class FastTextClassifier:
                                             (eids, elens, eys))
             return emb, out, t
 
+        clip = self.clip
+
         @jax.jit
         def run_epoch_batched(emb, out, eids, elens, eys, evalid, t0):
             # eids (S, B, L) / elens (S, B) / eys (S, B) / evalid (S, B):
             # per-example gradients on the batch-start params, applied
             # together — the synchronous limit of fasttext's hogwild SGD.
+            # B simultaneous full-lr updates can enter a positive feedback
+            # (out grows -> g_hidden grows -> emb grows -> hidden grows ->
+            # out update grows) that sequential hogwild's parameter
+            # staleness self-damps; the batch update's global norm is
+            # therefore clipped to ``clip * B`` (a per-example budget —
+            # healthy per-example gradient norms are ~0.1-0.5, so the cap
+            # never binds on a converging fit).
             def body(carry, xs):
                 emb, out, t = carry
                 rows, ns, yy, valid = xs
@@ -172,10 +194,15 @@ class FastTextClassifier:
                 err = err * valid[:, None]                      # pad rows: 0
                 lr = base_lr * jnp.maximum(1.0 - t / total, 1e-4)
                 g_hidden = err @ out.T                          # (B, D)
-                out = out - lr * hidden.T @ err
-                upd = jnp.where(mask[..., None],
-                                -lr * g_hidden[:, None, :] / ns[:, None, None],
-                                0.0)
+                g_out = hidden.T @ err                          # (D, C)
+                gnorm = jnp.sqrt(jnp.sum(g_out * g_out)
+                                 + jnp.sum(g_hidden * g_hidden))
+                scale = jnp.minimum(1.0, clip * err.shape[0] / (gnorm + 1e-12))
+                out = out - (lr * scale) * g_out
+                upd = jnp.where(
+                    mask[..., None],
+                    -(lr * scale) * g_hidden[:, None, :] / ns[:, None, None],
+                    0.0)
                 emb = emb.at[rows].add(upd)
                 return (emb, out, t + valid.sum()), None
 
@@ -206,7 +233,10 @@ class FastTextClassifier:
                         ids[o].reshape(S, B, self.max_len),
                         lens[o].reshape(S, B), y[o].reshape(S, B),
                         valid.reshape(S, B), t)
-                    if not np.isfinite(float(out_j[0, 0])):
+                    # NaN-poisoned cheap reductions: any non-finite entry in
+                    # EITHER table bails before wasting the remaining epochs
+                    if not np.isfinite(float(jnp.sum(out_j))
+                                       + float(jnp.sum(emb_j))):
                         break
                 else:
                     emb_j, out_j, t = run_epoch(emb_j, out_j, ids[order],
@@ -218,7 +248,16 @@ class FastTextClassifier:
         # repeat the identical fit)
         B = self.batch_size
         attempts = [B, max(B // 4, 1), max(B // 16, 1)] if use_batched else [B]
-        for B in attempts:
+        if use_batched:
+            # eval-metric provenance: the SGD path that trains the
+            # metric-bearing style classifier must be visible in run output
+            # (and lands in the saved model meta below)
+            print(f"[fasttext] minibatch SGD: N={N} B={B} clip={self.clip} "
+                  f"(sgd={self.sgd})", flush=True)
+        for i, B in enumerate(attempts):
+            if i > 0:
+                print(f"[fasttext] non-finite fit at B={attempts[i - 1]}; "
+                      f"retrying at B={B}", flush=True)
             emb_np, out_np = train_once(B)
             if np.isfinite(emb_np).all() and np.isfinite(out_np).all():
                 break
@@ -227,6 +266,12 @@ class FastTextClassifier:
                 f"fasttext SGD diverged (batch sizes tried: {attempts}); "
                 + ("pass sgd='sequential'" if use_batched
                    else "inputs produce a non-finite sequential fit"))
+        self.fit_meta = {
+            "sgd_path": "minibatch" if use_batched else "sequential",
+            "batch_size": int(B) if use_batched else 1,
+            "retries": attempts.index(B) if use_batched else 0,
+            "clip": self.clip, "n_examples": N,
+        }
         self.emb = emb_np  # np.array copies: jax buffers are read-only
         self.emb[0] = 0
         self.out = out_np
@@ -275,7 +320,7 @@ class FastTextClassifier:
             emb=self.emb, out=self.out,
             meta=np.frombuffer(json.dumps({
                 "vocab": self.vocab, "labels": self.labels, "dim": self.dim,
-                "max_len": self.max_len,
+                "max_len": self.max_len, "fit_meta": self.fit_meta,
             }).encode(), dtype=np.uint8),
         )
 
@@ -286,6 +331,7 @@ class FastTextClassifier:
         data = np.load(path)
         meta = json.loads(bytes(data["meta"]).decode())
         m = cls(dim=meta["dim"], max_len=meta.get("max_len", 64))
+        m.fit_meta = meta.get("fit_meta", {})
         m.vocab = {k: int(v) for k, v in meta["vocab"].items()}
         m.labels = meta["labels"]
         m.emb = data["emb"]

@@ -106,12 +106,27 @@ def build_classifier(cfg: Config, n_vocab: int) -> TextCNN:
     return TextCNN(n_vocab=n_vocab, n_class=cfg.n_class, dtype=compute_dtype(cfg))
 
 
+def _scorer_size_kw(cfg: Config) -> dict:
+    """Optional Matcher/LM size overrides (Config.scorer_*); empty dict keeps
+    the reference dims baked into the model defaults."""
+    kw = {}
+    if cfg.scorer_layers is not None:
+        kw["n_layers"] = cfg.scorer_layers
+    if cfg.scorer_d_model is not None:
+        kw["d_model"] = cfg.scorer_d_model
+    if cfg.scorer_heads is not None:
+        kw["n_heads"] = cfg.scorer_heads
+    return kw
+
+
 def build_matcher(cfg: Config, n_vocab: int) -> PairMatcher:
-    return PairMatcher(n_vocab=n_vocab, dtype=compute_dtype(cfg))
+    return PairMatcher(n_vocab=n_vocab, dtype=compute_dtype(cfg),
+                       **_scorer_size_kw(cfg))
 
 
 def build_lm(cfg: Config, n_vocab: int) -> TransformerLM:
-    return TransformerLM(n_vocab=n_vocab, n_class=cfg.n_class, dtype=compute_dtype(cfg))
+    return TransformerLM(n_vocab=n_vocab, n_class=cfg.n_class,
+                         dtype=compute_dtype(cfg), **_scorer_size_kw(cfg))
 
 
 def build_discriminator(cfg: Config, n_vocab: int) -> RelGANDiscriminator:

@@ -145,6 +145,8 @@ class OptimizeSteps(NamedTuple):
     accumulate: callable
     val_step: callable
     fused_step: callable
+    fused_step_dyn: callable
+    fused_step_dyn_fn: callable  # unjitted: callers pin out_shardings
 
 
 def make_optimize_steps(cfg: Config, models: OptimizeModels,
@@ -290,20 +292,15 @@ def make_optimize_steps(cfg: Config, models: OptimizeModels,
         ks = jax.random.split(key, 2)
         return {"dropout": ks[0], "coin": ks[1]}
 
-    @partial(jax.jit, static_argnames=("do_apply",))
-    def fused_step(g_state: TrainState, d_state: TrainState, acc, frozen,
-                   batch, base_key, d_base, step, do_apply: bool,
-                   copy_scale=1.0):
-        """One dispatch per training batch: G update, D grads (fresh decode
-        or reuse per Config.fuse_gan_steps), grad accumulation, and — when
-        ``do_apply`` (every Config.d_update_every-th batch) — the D apply +
-        accumulator reset. Semantics identical to calling the individual
-        steps in the reference order (G first, then D against the UPDATED
-        generator, ``main_optimize.py:78-88``); RNG derivation matches
+    def _fused_core(g_state: TrainState, d_state: TrainState, acc, frozen,
+                    batch, base_key, d_base, step, copy_scale):
+        """Shared body of the fused per-batch step: G update, D grads (fresh
+        decode or reuse per Config.fuse_gan_steps), grad accumulation.
+        Semantics identical to calling the individual steps in the reference
+        order (G first, then D against the UPDATED generator,
+        ``main_optimize.py:78-88``); RNG derivation matches
         ``step_rngs(key, step)`` / ``step_rngs(fold_in(key, 1), step)``
-        exactly, so training trajectories are unchanged. Dispatch count per
-        batch drops ~10x -> ~1x, which matters on hosts where per-dispatch
-        latency is high (e.g. tunneled devices)."""
+        exactly, so training trajectories are unchanged."""
         g_rngs = _mk_rngs(base_key, step)
         (_, (aux, sample_p)), grads = jax.value_and_grad(
             g_loss_fn, has_aux=True)(g_state.params, d_state.params, frozen,
@@ -318,13 +315,57 @@ def make_optimize_steps(cfg: Config, models: OptimizeModels,
         d_loss, dgrads = jax.value_and_grad(_d_loss_fn)(
             d_state.params, fake_p, batch, d_rngs)
         acc = jax.tree.map(jnp.add, acc, dgrads)
+        return g_state, d_state, acc, aux, d_loss
+
+    @partial(jax.jit, static_argnames=("do_apply",))
+    def fused_step(g_state: TrainState, d_state: TrainState, acc, frozen,
+                   batch, base_key, d_base, step, do_apply: bool,
+                   copy_scale=1.0):
+        """One dispatch per training batch (production path): ``_fused_core``
+        plus — when ``do_apply`` (every Config.d_update_every-th batch) — the
+        D apply + accumulator reset, branch-specialized at compile time.
+        Dispatch count per batch drops ~10x -> ~1x, which matters on hosts
+        where per-dispatch latency is high (e.g. tunneled devices)."""
+        g_state, d_state, acc, aux, d_loss = _fused_core(
+            g_state, d_state, acc, frozen, batch, base_key, d_base, step,
+            copy_scale)
         if do_apply:
             d_state = d_state.apply_gradients(acc)
             acc = jax.tree.map(jnp.zeros_like, acc)
         return g_state, d_state, acc, aux, d_loss
 
+    def fused_step_dyn_fn(g_state: TrainState, d_state: TrainState, acc,
+                          frozen, batch, base_key, d_base, step, do_apply,
+                          copy_scale=1.0):
+        """``fused_step`` with ``do_apply`` TRACED (lax.cond) instead of
+        static: ONE compilation covers both the accumulate-only and the
+        apply batches. Used where compile time dominates run time — the
+        driver's multichip gate and CI — at the cost of carrying the Adam
+        update in-graph every batch (negligible next to the GAN rollouts,
+        but the production loop keeps the branch-specialized variant).
+
+        Exported unjitted too (``fused_step_dyn_fn``): on an explicit mesh
+        the caller must jit it with ``out_shardings`` pinned to the input
+        layout — otherwise XLA's sharding propagation re-lays-out the
+        returned D-grad accumulator (model-sharded via the generator's TP
+        vocab head), and the next call's changed input shardings force a
+        SECOND full compile (measured 37 s each in the driver gate)."""
+        g_state, d_state, acc, aux, d_loss = _fused_core(
+            g_state, d_state, acc, frozen, batch, base_key, d_base, step,
+            copy_scale)
+        d_state, acc = jax.lax.cond(
+            do_apply,
+            lambda ds, a: (ds.apply_gradients(a),
+                           jax.tree.map(jnp.zeros_like, a)),
+            lambda ds, a: (ds, a),
+            d_state, acc)
+        return g_state, d_state, acc, aux, d_loss
+
+    fused_step_dyn = jax.jit(fused_step_dyn_fn)
+
     return OptimizeSteps(g_step, d_grads, d_grads_reuse, d_apply, accumulate,
-                         val_step, fused_step)
+                         val_step, fused_step, fused_step_dyn,
+                         fused_step_dyn_fn)
 
 
 def run_optimize(cfg: Config, progress: bool = True,

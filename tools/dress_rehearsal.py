@@ -45,6 +45,14 @@ def main() -> None:
                     "corpus (tools/make_synthetic_train.py --recombine)")
     ap.add_argument("--skip-done", action="store_true",
                     help="skip stages whose artifacts already exist")
+    ap.add_argument("--real-data", action="store_true",
+                    help="use pre-existing style.train.{0,1} under "
+                    "<base>/data/<dataset>/ (the reference's real-corpus "
+                    "drop-in contract, src/loader.py:10-40) instead of "
+                    "generating a synthetic corpus")
+    ap.add_argument("--stop-after", default="",
+                    help="stop after this stage (corpus|vocab|w2v) — used by "
+                    "tests to validate the data seam without training")
     args = ap.parse_args()
     base = os.path.abspath(args.base)
     out_path = args.out or f"{base}/rehearsal.json"
@@ -66,21 +74,50 @@ def main() -> None:
     data_dir = f"{base}/data"
     ds_dir = f"{data_dir}/{args.dataset}"
     t0 = time.time()
-    corpus_meta = {"mult": args.mult, "recombine": args.recombine}
+    corpus_meta = ({"real": True} if args.real_data
+                   else {"mult": args.mult, "recombine": args.recombine})
     meta_path = f"{ds_dir}/corpus_meta.json"
-    if os.path.exists(f"{ds_dir}/style.train.0"):
+    if args.real_data:
+        # the reference's drop-in contract (src/loader.py:10-40): the user
+        # provides style.train.{0,1} (one sentence per line, label = filename
+        # suffix) under <base>/data/<dataset>/ — validate, never synthesize
+        from consistent__style_transfer_tpu.data.corpus import (
+            validate_style_file,
+        )
+
+        stats = {}
+        for s in (0, 1):
+            p = f"{ds_dir}/style.train.{s}"
+            if not os.path.exists(p):
+                raise SystemExit(
+                    f"--real-data: drop the real corpus at {p} first "
+                    "(one sentence per line; style id = filename suffix, "
+                    "reference src/loader.py:34-40)")
+            stats[s] = validate_style_file(p)
+        print(f"[rehearsal] real corpus validated: {stats}", flush=True)
+        os.makedirs(ds_dir, exist_ok=True)
+        with open(meta_path, "w") as f:
+            json.dump(corpus_meta, f)
+    elif os.path.exists(f"{ds_dir}/style.train.0"):
         # guard against silently measuring a stale corpus: an existing train
         # file generated with different --mult/--recombine invalidates the run
-        old = {}
         if os.path.exists(meta_path):
             with open(meta_path) as f:
                 old = json.load(f)
-        if old != corpus_meta:
-            raise SystemExit(
-                f"{ds_dir} already holds a synthetic corpus generated with "
-                f"{old or 'unknown parameters'}, but this run asked for "
-                f"{corpus_meta}; use a fresh --base (or delete the corpus) "
-                "instead of measuring the stale one")
+            if old != corpus_meta:
+                raise SystemExit(
+                    f"{ds_dir} already holds a synthetic corpus generated "
+                    f"with {old}, but this run asked for {corpus_meta}; use "
+                    "a fresh --base (or delete the corpus) instead of "
+                    "measuring the stale one")
+        else:
+            # pre-meta base (corpus written before this guard existed):
+            # adopt it under the requested parameters rather than breaking
+            # --skip-done resumption, but say so
+            print(f"[rehearsal] {ds_dir} has no corpus_meta.json; adopting "
+                  f"the existing corpus as {corpus_meta}", flush=True)
+            with open(meta_path, "w") as f:
+                json.dump(corpus_meta, f)
     else:
         cmd = [
             sys.executable, os.path.join(ROOT, "tools", "make_synthetic_train.py"),
@@ -104,7 +141,10 @@ def main() -> None:
             shutil.copy(src, dst)
     n_train = sum(
         sum(1 for _ in open(f"{ds_dir}/style.train.{s}")) for s in (0, 1))
-    record("corpus", time.time() - t0, train_lines=n_train)
+    record("corpus", time.time() - t0, train_lines=n_train,
+           **({"real": True} if args.real_data else {}))
+    if args.stop_after == "corpus":
+        return
 
     from consistent__style_transfer_tpu.config import make_config
 
@@ -136,6 +176,8 @@ def main() -> None:
     t0 = time.time()
     tok = get_tokenizer(cfg)
     record("vocab", time.time() - t0, vocab=len(tok))
+    if args.stop_after == "vocab":
+        return
 
     # --- 3. w2v ---
     from consistent__style_transfer_tpu.train.common import get_w2v
@@ -144,6 +186,8 @@ def main() -> None:
     w2v = get_w2v(cfg, tok)
     record("w2v", time.time() - t0, w2v_vocab=len(w2v.vocab))
     del w2v
+    if args.stop_after == "w2v":
+        return
 
     # --- 4. pretrain ---
     pre_done = all(
