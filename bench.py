@@ -9,6 +9,11 @@ for the CPU baseline of the same workload).
 
 Prints ONE json line:
   {"metric": ..., "value": N, "unit": "sentences/sec/chip", "vs_baseline": N}
+
+Extra fields: ``mfu`` = analytic FLOPs/iter (XLA cost analysis) / measured
+iter time / ``peak_flops_per_sec``, where the peak is the chip's DENSE bf16
+figure from ``_peak_flops_per_s`` (v5e: 197e12 — the one MFU denominator
+used everywhere, incl. RESULTS.md).
 """
 
 from __future__ import annotations

@@ -106,6 +106,16 @@ def main() -> None:
         dt = _timeit(lambda: train_step(state, batch, key, 0, flags), force)
         out[f"step_ms_{name}"] = round(dt * 1e3, 2)
         out[f"sent_per_s_{name}"] = round(B / dt, 1)
+
+    # dropout-mask generation cost: same full step, keys from the TPU's
+    # hardware RngBitGenerator instead of threefry (Config.rng_impl="rbg");
+    # split/fold_in/bernoulli all follow the key's impl, so this isolates
+    # the mask-generation opcode swap
+    key_rbg = jax.random.key(0, impl="rbg")
+    dt = _timeit(lambda: train_step(state, batch, key_rbg, 0,
+                                    (True, True, True)), force)
+    out["step_ms_full_rbg"] = round(dt * 1e3, 2)
+    out["sent_per_s_full_rbg"] = round(B / dt, 1)
     # dispatch round-trip for reference
     trivial = jax.jit(lambda x: x + 1)
     dt = _timeit(lambda: trivial(jnp.float32(0)), lambda r: float(r))

@@ -34,7 +34,8 @@ def _timeit(fn, fetch, iters=20, warm=3):
     return (time.time() - t0) / iters
 
 
-def top_ops_from_trace(trace_fn, logdir: str, k: int = 8):
+def top_ops_from_trace(trace_fn, logdir: str, k: int = 8,
+                       detail_opcodes=()):
     """Run ``trace_fn`` under a profiler trace and return the device-time
     breakdown (sync self-time + overlapped async DMA) from the XPlane dump.
 
@@ -49,9 +50,25 @@ def top_ops_from_trace(trace_fn, logdir: str, k: int = 8):
     with jax.profiler.trace(logdir):
         trace_fn()
     try:
-        return top_ops(logdir, k=k)
+        return top_ops(logdir, k=k, detail_opcodes=detail_opcodes)
     except Exception as e:  # malformed dump — keep the bench alive
         return {"error": f"{type(e).__name__}: {e}"}
+
+
+def hlo_def_lines(hlo_text: str, op_names) -> dict:
+    """Map profiled op names (e.g. 'copy.123') to their defining line in the
+    optimized HLO — shape, operand, and (when XLA kept it) source metadata.
+    This is what turns an opcode bucket into an attackable list."""
+    import re
+
+    out = {}
+    for name in op_names:
+        m = re.search(rf"^\s*%?{re.escape(name)} = .*$", hlo_text,
+                      flags=re.MULTILINE)
+        if m:
+            line = m.group(0).strip()
+            out[name] = line[:400] + ("..." if len(line) > 400 else "")
+    return out
 
 
 def main() -> None:
@@ -158,14 +175,40 @@ def main() -> None:
     res["iter_ms"] = round((t_fused + t_decode) * 1e3, 2)
     res["bench_equiv_sent_per_s"] = round(B / (t_fused + t_decode), 1)
 
-    # 3. top device-time ops of the fused step (best-effort)
+    # 2b. rbg-keyed fused step (Config.rng_impl="rbg"): isolates the cost of
+    # threefry dropout/ST-sampling mask generation inside the GAN step
+    bk_rbg = jax.random.key(1, impl="rbg")
+    db_rbg = jax.random.fold_in(bk_rbg, 1)
+    t_fused_rbg = _timeit(
+        lambda: steps.fused_step(g_state, d_state, acc0, frozen, batch,
+                                 bk_rbg, db_rbg, 0, do_apply=True),
+        fetch, iters=args.iters)
+    res["fused_step_ms_rbg"] = round(t_fused_rbg * 1e3, 2)
+
+    # 3. top device-time ops of the fused step (best-effort), with per-op
+    # drill-down in the two named residual buckets (VERDICT r3 item 2)
     def run_fused():
         out = steps.fused_step(g_state, d_state, acc0, frozen, batch, bk, db,
                                0, do_apply=True)
         jax.block_until_ready(out)
 
+    detail = ("copy", "convert_reduce_fusion")
     res["top_ops"] = top_ops_from_trace(
-        run_fused, os.path.join(ROOT, "workdir", "profile_trace"))
+        run_fused, os.path.join(ROOT, "workdir", "profile_trace"),
+        detail_opcodes=detail)
+
+    # 3b. map the drilled-down op names to their optimized-HLO definitions
+    try:
+        hlo = steps.fused_step.lower(
+            g_state, d_state, acc0, frozen, batch, bk, db, 0,
+            do_apply=True).compile().as_text()
+        names = [d["op"]
+                 for oc in (res["top_ops"].get("sync", {})
+                            .get("opcode_detail", {}) or {}).values()
+                 for d in oc]
+        res["hlo_defs"] = hlo_def_lines(hlo, names)
+    except Exception as e:
+        res["hlo_defs"] = {"error": f"{type(e).__name__}: {e}"}
 
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:

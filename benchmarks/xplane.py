@@ -176,13 +176,13 @@ def _opcode(op: str) -> str:
     return op.split(".", 1)[0].split(" ", 1)[0]
 
 
-def _ranked(totals: dict[str, float], k: int):
+def _ranked(totals: dict[str, float], k: int, detail_opcodes=()):
     total_us = sum(totals.values()) or 1.0
     rollup: dict[str, float] = {}
     for op, us in totals.items():
         rollup[_opcode(op)] = rollup.get(_opcode(op), 0.0) + us
     pct = lambda us: round(100 * us / total_us, 1)  # noqa: E731
-    return {
+    out = {
         "total_us": round(total_us, 1),
         "top": [{"op": op, "self_time_us": round(us, 1), "pct": pct(us)}
                 for op, us in sorted(totals.items(), key=lambda kv: -kv[1])[:k]],
@@ -191,14 +191,26 @@ def _ranked(totals: dict[str, float], k: int):
                       for oc, us in sorted(rollup.items(),
                                            key=lambda kv: -kv[1])[:k]],
     }
+    if detail_opcodes:
+        # name-level drill-down inside chosen opcode buckets ("copy",
+        # "convert_reduce_fusion", ...) so the HLO text can be grepped for
+        # the exact producers
+        out["opcode_detail"] = {
+            oc: [{"op": op, "self_time_us": round(us, 1), "pct": pct(us)}
+                 for op, us in sorted(totals.items(), key=lambda kv: -kv[1])
+                 if _opcode(op) == oc][:k]
+            for oc in detail_opcodes}
+    return out
 
 
-def top_ops(logdir: str, k: int = 8, plane_substr: str = "TPU"):
+def top_ops(logdir: str, k: int = 8, plane_substr: str = "TPU",
+            detail_opcodes=()):
     """Device-time breakdown from the newest xplane dump under logdir.
 
     Returns {step_us, sync (XLA Ops line, self-time), async (DMA line,
     overlapped with compute)} — async time does NOT add to the critical
-    path unless compute stalls waiting on it."""
+    path unless compute stalls waiting on it. ``detail_opcodes`` adds a
+    per-op drill-down inside those opcode buckets."""
     dumps = sorted(glob.glob(os.path.join(logdir, "**", "*.xplane.pb"),
                              recursive=True), key=os.path.getmtime)
     if not dumps:
@@ -212,7 +224,7 @@ def top_ops(logdir: str, k: int = 8, plane_substr: str = "TPU"):
         res["step_us"] = round(sum(steps.values()), 1)
     sync = lines.get("XLA Ops", {})
     if sync:
-        res["sync"] = _ranked(sync, k)
+        res["sync"] = _ranked(sync, k, detail_opcodes)
     async_ = lines.get("Async XLA Ops", {})
     if async_:
         res["async"] = _ranked(async_, k)
@@ -221,7 +233,7 @@ def top_ops(logdir: str, k: int = 8, plane_substr: str = "TPU"):
         for t in lines.values():
             for op, us in t.items():
                 allt[op] = allt.get(op, 0.0) + us
-        res["all"] = _ranked(allt, k)
+        res["all"] = _ranked(allt, k, detail_opcodes)
     return res
 
 

@@ -72,6 +72,11 @@ class Config:
     beam_size: int = 1  # >1 enables beam decode at inference (transformer backbone)
     resume: bool = False  # restore full optimize train state (orbax) if present
     seed: int = 0
+    rng_impl: str = "threefry"  # PRNG behind dropout/sampling keys:
+    # "threefry" = JAX's counter-based default (bit-reproducible with
+    # earlier artifacts); "rbg" = the TPU's hardware RngBitGenerator
+    # (same-quality masks from a different stream; cheaper mask generation
+    # on TPU — benchmarks/pretrain_probe.py measures the delta)
     dtype: str = "float32"  # compute dtype: float32 | bfloat16
     mesh: MeshConfig = field(default_factory=MeshConfig)
     fuse_gan_steps: bool = False  # reuse the G-step's fake decode for the D

@@ -133,6 +133,17 @@ def build_discriminator(cfg: Config, n_vocab: int) -> RelGANDiscriminator:
     return RelGANDiscriminator(n_vocab=n_vocab, dtype=compute_dtype(cfg))
 
 
+def make_key(cfg: Config, seed: int | None = None):
+    """Stage-driver base key honoring Config.rng_impl ("threefry" default;
+    "rbg" = TPU hardware RngBitGenerator — same-quality dropout/sampling
+    masks, cheaper generation). split/fold_in preserve the impl, so one
+    switch here covers every downstream rng."""
+    s = cfg.seed if seed is None else seed
+    if cfg.rng_impl == "threefry":
+        return jax.random.PRNGKey(s)
+    return jax.random.key(s, impl=cfg.rng_impl)
+
+
 def step_rngs(base_key, step: int, names=("dropout", "coin")) -> dict:
     key = jax.random.fold_in(base_key, step)
     keys = jax.random.split(key, len(names))

@@ -60,6 +60,7 @@ from .common import (
     get_corpus,
     get_mesh,
     get_tokenizer,
+    make_key,
 )
 from .infer import run_inference
 from .loop import EarlyStopper, Throughput
@@ -381,7 +382,7 @@ def run_optimize(cfg: Config, progress: bool = True,
     mesh = get_mesh(cfg)
     V = len(tokenizer)
     models = OptimizeModels(cfg, V)
-    key = jax.random.PRNGKey(cfg.seed)
+    key = make_key(cfg)
     frozen = replicate(load_frozen(cfg, models, key), mesh)
     g_params = replicate(load_generator_params(cfg, models, key), mesh)
 
@@ -494,6 +495,6 @@ def run_test(cfg: Config) -> list[str]:
     """Test mode: transfer train+test splits to .tsf files."""
     tokenizer = get_tokenizer(cfg)
     models = OptimizeModels(cfg, len(tokenizer))
-    key = jax.random.PRNGKey(cfg.seed)
+    key = make_key(cfg)
     g_params = load_generator_params(cfg, models, key)
     return run_inference(cfg, models.generator, g_params, tokenizer)

@@ -42,6 +42,7 @@ from .common import (
     get_corpus,
     get_mesh,
     get_tokenizer,
+    make_key,
     get_w2v,
 )
 from .loop import EarlyStopper, Throughput
@@ -128,7 +129,7 @@ def run_pretrain(cfg: Config, progress: bool = True) -> dict[str, str]:
     V = len(tokenizer)
     models = {"cls": build_classifier(cfg, V), "mat": build_matcher(cfg, V),
               "dn": build_lm(cfg, V)}
-    key = jax.random.PRNGKey(cfg.seed)
+    key = make_key(cfg)
     kc, km, kd = jax.random.split(key, 3)
     B0, L0 = 2, cfg.max_len
     x0 = jnp.zeros((B0, L0), jnp.int32)

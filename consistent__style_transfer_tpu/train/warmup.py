@@ -21,7 +21,8 @@ from ..data.prefetch import DevicePrefetcher
 from ..ops.losses import softmax_cross_entropy_tokens
 from ..parallel.sharding import replicate, shard_batch
 from ..utils.io import RunLogger
-from .common import build_generator, get_corpus, get_mesh, get_tokenizer, step_rngs
+from .common import (build_generator, get_corpus, get_mesh,
+                     get_tokenizer, make_key, step_rngs)
 from .loop import EarlyStopper, Throughput
 from .state import BestKeeper, TrainState, adam_with_clip, save_params
 
@@ -85,7 +86,7 @@ def run_warmup(cfg: Config, progress: bool = True) -> str:
                           shuffle=False, seed=cfg.seed)
 
     model = build_generator(cfg, len(tokenizer))
-    key = jax.random.PRNGKey(cfg.seed)
+    key = make_key(cfg)
     x0 = jnp.zeros((2, cfg.max_len), jnp.int32)
     l0 = jnp.zeros((2,), jnp.int32)
     params = model.init(key, x0, l0, x0, l0, deterministic=True)

@@ -4,12 +4,14 @@ compute only): the TPU production configuration."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from consistent__style_transfer_tpu.models import DenoiseSeq2Seq, TextCNN
 
 V, B, L = 40, 4, 6
 
 
+@pytest.mark.slow
 def test_generator_bf16_forward_and_grads():
     model = DenoiseSeq2Seq(n_vocab=V, n_class=2, max_len=L, dtype=jnp.bfloat16)
     key = jax.random.PRNGKey(0)

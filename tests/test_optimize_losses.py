@@ -50,6 +50,7 @@ def _run_g_step(cfg, models, frozen, g_params, d_params, batch):
     return new_state, {k: float(v) for k, v in aux.items()}, fake_p
 
 
+@pytest.mark.slow
 def test_baseline_has_no_extra_losses(setup):
     cfg, models, frozen, g_params, d_params, batch = setup
     cfg.w_rec, cfg.w_copy = 0.0, 0.0
@@ -58,6 +59,7 @@ def test_baseline_has_no_extra_losses(setup):
     assert jnp.isfinite(aux["loss"])
 
 
+@pytest.mark.slow
 def test_copy_loss_finite_and_grads_flow(setup):
     cfg, models, frozen, g_params, d_params, batch = setup
     cfg.w_rec, cfg.w_copy = 1.0, 2.0
@@ -74,6 +76,7 @@ def test_copy_loss_finite_and_grads_flow(setup):
     )
 
 
+@pytest.mark.slow
 def test_fused_step_matches_individual_steps(setup):
     """fused_step (production: one dispatch per batch) must reproduce the
     individual g_step -> d_grads -> accumulate -> d_apply sequence exactly —
@@ -133,6 +136,7 @@ def test_style_neutrality_weights():
     assert all(w[:3] == 1.0)    # specials neutral
 
 
+@pytest.mark.slow
 def test_masked_copy_loss_downweights_style_tokens(setup):
     cfg, models, frozen, g_params, d_params, batch = setup
     cfg.w_rec, cfg.w_copy = 0.0, 1.0
@@ -159,6 +163,7 @@ def test_masked_copy_loss_downweights_style_tokens(setup):
     assert abs(float(aux_m2["COPY"]) - float(aux_u["COPY"])) > 1e-6
 
 
+@pytest.mark.slow
 def test_copy_scale_modulates_fused_loss(setup):
     """fused_step's copy_scale (Config.w_copy_decay schedule) scales the
     copy term's contribution to the total without touching other losses."""
@@ -183,6 +188,7 @@ def test_copy_scale_modulates_fused_loss(setup):
     assert abs((a1["loss"] - a0["loss"]) - 1.0 * a1["COPY"]) < 1e-4
 
 
+@pytest.mark.slow
 def test_copy_loss_rewards_copying(setup):
     """A generator forced (via aux inspection) to emit the source should have
     near-zero COPY: check the loss formula directly on a synthetic

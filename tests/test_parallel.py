@@ -5,6 +5,7 @@ transformer outputs numerically identical."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from jax.sharding import PartitionSpec as P
 
 from consistent__style_transfer_tpu.models import TransformerLM
@@ -61,6 +62,7 @@ def test_tp_output_matches_replicated():
                                atol=2e-4)
 
 
+@pytest.mark.slow
 def test_dp_grads_match_single_device():
     """Mean loss over a sharded batch must give the same gradients as
     unsharded — XLA inserts the psum from the shardings alone."""
@@ -94,6 +96,7 @@ def test_shard_batch_places_on_data_axis():
     assert batch["x"].sharding.spec == P("data", None)
 
 
+@pytest.mark.slow
 def test_optimize_step_tp_mesh(capsys):
     """The driver-gated multi-chip exercise, in CI: 8 full optimize GAN
     steps (two D-accumulation cycles; ST decode + back-translation + D grads

@@ -30,6 +30,7 @@ def cfg(tiny_corpus, tmp_path_factory):
     return cfg
 
 
+@pytest.mark.slow
 def test_full_pipeline(cfg):
     from consistent__style_transfer_tpu.train.optimize import run_optimize, run_test
     from consistent__style_transfer_tpu.train.pretrain import run_pretrain

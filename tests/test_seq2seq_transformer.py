@@ -47,6 +47,7 @@ def test_greedy_consistent_with_teacher_rescore(setup):
                                   np.asarray(ids))
 
 
+@pytest.mark.slow
 def test_st_mode_probs_and_grads(setup):
     model, params, x, labels = setup
 
@@ -69,6 +70,7 @@ def _rescore(model, params, x, labels, ids):
     return jnp.take_along_axis(logp, ids[..., None], -1)[..., 0].sum(-1)
 
 
+@pytest.mark.slow
 def test_beam_scores_and_beam1_equals_greedy(setup):
     model, params, x, labels = setup
     g_ids, g_score = beam_decode(model, params, x, labels, 1 - labels,
@@ -90,6 +92,7 @@ def test_beam_scores_and_beam1_equals_greedy(setup):
     )
 
 
+@pytest.mark.slow
 def test_backbone_dispatch_in_drivers(setup, tiny_corpus, tmp_path):
     """Config.backbone='transformer' flows through warmup steps and the
     transfer step unchanged."""

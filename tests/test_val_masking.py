@@ -54,6 +54,7 @@ def opt_setup():
     return cfg, frozen, g_params, steps
 
 
+@pytest.mark.slow
 def test_optimize_val_masks_padded_rows(opt_setup):
     cfg, frozen, g_params, steps = opt_setup
     rng = np.random.default_rng(3)
@@ -76,6 +77,7 @@ def test_optimize_val_masks_padded_rows(opt_setup):
     assert not _tree_close(clean, polluted, tol=1e-7)
 
 
+@pytest.mark.slow
 def test_pretrain_eval_masks_padded_rows():
     cfg = make_config("tiny")
     cfg.max_len = L

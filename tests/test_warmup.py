@@ -1,6 +1,7 @@
 import os
 
 import numpy as np
+import pytest
 
 from consistent__style_transfer_tpu.config import make_config
 
@@ -20,6 +21,7 @@ def _cfg(tiny_corpus, tmp_path):
     return cfg
 
 
+@pytest.mark.slow
 def test_warmup_end_to_end(tiny_corpus, tmp_path):
     from consistent__style_transfer_tpu.train.warmup import run_warmup
 
@@ -34,6 +36,7 @@ def test_warmup_end_to_end(tiny_corpus, tmp_path):
     assert "val_loss" in events
 
 
+@pytest.mark.slow
 def test_warmup_loss_decreases(tiny_corpus, tmp_path):
     """Denoising CE must drop on a memorizable corpus."""
     import jax

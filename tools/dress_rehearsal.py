@@ -39,6 +39,9 @@ def main() -> None:
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--w-copy", type=float, default=None)
     ap.add_argument("--w-copy-decay", type=float, default=None)
+    ap.add_argument("--w-s", type=float, default=None,
+                    help="style-CE weight override (reference default 0.1) — "
+                    "the operating-point lever for the NT-band control runs")
     ap.add_argument("--warmup-epochs", type=int, default=None)
     ap.add_argument("--recombine", type=float, default=0.0,
                     help="same-style splice fraction for the synthetic "
@@ -164,6 +167,8 @@ def main() -> None:
             cfg.w_copy = args.w_copy
         if args.w_copy_decay is not None:
             cfg.w_copy_decay = args.w_copy_decay
+        if args.w_s is not None:
+            cfg.w_s = args.w_s
         if args.warmup_epochs is not None:
             cfg.warmup_epochs = args.warmup_epochs
         return cfg
