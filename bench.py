@@ -183,7 +183,11 @@ def main() -> None:
         "x": rng.integers(0, V, (B, L)).astype(np.int32),
         "labels": rng.integers(0, 2, (B,)).astype(np.int32),
     }, mesh)
-    bench_key = jax.random.PRNGKey(1)
+    from consistent__style_transfer_tpu.train.common import make_key
+
+    # keys follow the production default (Config.rng_impl) so the bench
+    # measures exactly what run_optimize dispatches
+    bench_key = make_key(cfg, seed=1)
     d_base = jax.random.fold_in(bench_key, 1)
     acc0 = jax.tree.map(jnp.zeros_like, d_state.params)
 

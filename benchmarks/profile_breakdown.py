@@ -78,6 +78,9 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--rng", default="threefry", choices=["threefry", "rbg"],
+                    help="key impl for the TRACED/timed fused step (the "
+                    "other impl is always timed as the comparison point)")
     args = ap.parse_args()
 
     import jax
@@ -152,8 +155,10 @@ def main() -> None:
         "labels": rng.integers(0, 2, (B,)).astype(np.int32),
     }, mesh)
     acc0 = jax.tree.map(jnp.zeros_like, d_state.params)
-    bk = jax.random.PRNGKey(1)
+    bk = (jax.random.PRNGKey(1) if args.rng == "threefry"
+          else jax.random.key(1, impl="rbg"))
     db = jax.random.fold_in(bk, 1)
+    res["rng"] = args.rng
 
     def fetch(tree):
         leaf = jax.tree.leaves(tree)[0]
@@ -175,15 +180,17 @@ def main() -> None:
     res["iter_ms"] = round((t_fused + t_decode) * 1e3, 2)
     res["bench_equiv_sent_per_s"] = round(B / (t_fused + t_decode), 1)
 
-    # 2b. rbg-keyed fused step (Config.rng_impl="rbg"): isolates the cost of
-    # threefry dropout/ST-sampling mask generation inside the GAN step
-    bk_rbg = jax.random.key(1, impl="rbg")
-    db_rbg = jax.random.fold_in(bk_rbg, 1)
-    t_fused_rbg = _timeit(
+    # 2b. the OTHER key impl as comparison (Config.rng_impl): isolates the
+    # cost of threefry dropout/ST-sampling mask generation in the GAN step
+    other = "rbg" if args.rng == "threefry" else "threefry"
+    bk_o = (jax.random.PRNGKey(1) if other == "threefry"
+            else jax.random.key(1, impl="rbg"))
+    db_o = jax.random.fold_in(bk_o, 1)
+    t_fused_o = _timeit(
         lambda: steps.fused_step(g_state, d_state, acc0, frozen, batch,
-                                 bk_rbg, db_rbg, 0, do_apply=True),
+                                 bk_o, db_o, 0, do_apply=True),
         fetch, iters=args.iters)
-    res["fused_step_ms_rbg"] = round(t_fused_rbg * 1e3, 2)
+    res[f"fused_step_ms_{other}"] = round(t_fused_o * 1e3, 2)
 
     # 3. top device-time ops of the fused step (best-effort), with per-op
     # drill-down in the two named residual buckets (VERDICT r3 item 2)

@@ -32,16 +32,21 @@ class MultiHeadSelfAttention(nn.Module):
                        name="in_proj")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         B, L = x.shape[0], x.shape[1]
-        q = q.reshape(B, L, h, hd).transpose(0, 2, 1, 3)
-        k = k.reshape(B, L, h, hd).transpose(0, 2, 1, 3)
-        v = v.reshape(B, L, h, hd).transpose(0, 2, 1, 3)
-        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(
+        # stay in (B, L, H, hd) layout end to end: the einsums contract the
+        # same dims as the classic transpose-to-(B,H,L,hd) formulation, but
+        # without explicit transposes XLA folds the head split into the
+        # matmuls instead of emitting relayout copies (profiled: the
+        # (B,L,H,hd) copies were the largest residual copy-bucket entries
+        # in the fused optimize step)
+        q = q.reshape(B, L, h, hd)
+        k = k.reshape(B, L, h, hd)
+        v = v.reshape(B, L, h, hd)
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(
             jnp.asarray(hd, self.dtype)
         )
         attn = nn.softmax(scores, axis=-1)
         attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
-        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
-        out = out.transpose(0, 2, 1, 3).reshape(B, L, d)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, L, d)
         return nn.Dense(d, kernel_init=linear_kernel_init,
                         bias_init=linear_bias_init(d), dtype=self.dtype,
                         name="out_proj")(out)

@@ -43,6 +43,8 @@ def main() -> None:
                     help="style-CE weight override (reference default 0.1) — "
                     "the operating-point lever for the NT-band control runs")
     ap.add_argument("--warmup-epochs", type=int, default=None)
+    ap.add_argument("--rng-impl", default=None, choices=["threefry", "rbg"],
+                    help="PRNG behind dropout/sampling keys (Config.rng_impl)")
     ap.add_argument("--recombine", type=float, default=0.0,
                     help="same-style splice fraction for the synthetic "
                     "corpus (tools/make_synthetic_train.py --recombine)")
@@ -169,6 +171,8 @@ def main() -> None:
             cfg.w_copy_decay = args.w_copy_decay
         if args.w_s is not None:
             cfg.w_s = args.w_s
+        if args.rng_impl is not None:
+            cfg.rng_impl = args.rng_impl
         if args.warmup_epochs is not None:
             cfg.warmup_epochs = args.warmup_epochs
         return cfg
