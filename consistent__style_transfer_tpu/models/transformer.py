@@ -85,12 +85,22 @@ class TransformerEncoder(nn.Module):
     d_ff: int = 2048
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
+    # remat: recompute each layer in the backward pass instead of saving its
+    # activations. Param tree and numerics are unchanged (lifted transform;
+    # dropout rngs replay deterministically) — this trades HBM traffic for
+    # recompute, targeting the profiled relayout copies of the per-head
+    # (B, H, L, L) attention probabilities saved for backward.
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
+        layer_cls = EncoderLayer
+        if self.remat:
+            layer_cls = nn.remat(EncoderLayer, static_argnums=(2,),
+                                 prevent_cse=False)
         for i in range(self.n_layers):
-            x = EncoderLayer(self.d_model, self.n_heads, self.d_ff,
-                             self.dropout, self.dtype, name=f"layer_{i}")(
+            x = layer_cls(self.d_model, self.n_heads, self.d_ff,
+                          self.dropout, self.dtype, name=f"layer_{i}")(
                 x, deterministic
             )
         return x

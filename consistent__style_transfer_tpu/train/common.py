@@ -134,10 +134,11 @@ def build_discriminator(cfg: Config, n_vocab: int) -> RelGANDiscriminator:
 
 
 def make_key(cfg: Config, seed: int | None = None):
-    """Stage-driver base key honoring Config.rng_impl ("threefry" default;
-    "rbg" = TPU hardware RngBitGenerator — same-quality dropout/sampling
-    masks, cheaper generation). split/fold_in preserve the impl, so one
-    switch here covers every downstream rng."""
+    """Stage-driver base key honoring Config.rng_impl ("rbg" default: TPU
+    hardware RngBitGenerator — same-quality dropout/sampling masks, far
+    cheaper mask generation than threefry's software bit-mixing; see
+    config.py). split/fold_in preserve the impl, so one switch here covers
+    every downstream rng."""
     s = cfg.seed if seed is None else seed
     if cfg.rng_impl == "threefry":
         return jax.random.PRNGKey(s)
