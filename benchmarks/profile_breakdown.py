@@ -81,6 +81,10 @@ def main() -> None:
     ap.add_argument("--rng", default="threefry", choices=["threefry", "rbg"],
                     help="key impl for the TRACED/timed fused step (the "
                     "other impl is always timed as the comparison point)")
+    ap.add_argument("--remat-scorers", action="store_true",
+                    help="recompute the matcher/LM encoder layers in "
+                    "backward (Config.remat_scorers) — A/B for the saved-"
+                    "attention-probs copy bucket")
     args = ap.parse_args()
 
     import jax
@@ -122,6 +126,8 @@ def main() -> None:
     V, B = 10000, args.batch
     cfg = make_config("yelp")
     cfg.dtype = args.dtype
+    cfg.remat_scorers = args.remat_scorers
+    res["remat_scorers"] = args.remat_scorers
     mesh = make_mesh(len(jax.devices()), 1)
     models = OptimizeModels(cfg, V)
     key = jax.random.PRNGKey(0)

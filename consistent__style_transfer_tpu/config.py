@@ -92,6 +92,13 @@ class Config:
     # the step in backward is cheaper than its residual traffic (fused
     # optimize step 39.8 -> 38.7 ms device, RESULTS round 3b) and numerically
     # identical; False keeps XLA's default residual saving
+    remat_scorers: bool = False  # nn.remat the matcher/LM encoder layers:
+    # recompute each layer in backward instead of saving its activations.
+    # Measured noise-level on the fused optimize step (28.71 -> 28.61 ms,
+    # copy bucket unchanged at 4.02 ms — the copies are decoder-scan
+    # backward traffic, not scorer attention probs; RESULTS.md "remat
+    # scorers A/B"). Kept as a memory lever for larger scorer towers;
+    # benchmarks/profile_breakdown.py --remat-scorers measures the trade.
     rep_penalty: float = 0.0  # greedy-decode repetition penalty (alpha >= 0);
     # subtracts alpha*count(token emitted so far) from the logits of content
     # tokens at inference. 0 = off (reference-faithful decode)

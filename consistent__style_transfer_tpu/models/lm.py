@@ -28,6 +28,7 @@ class TransformerLM(nn.Module):
     d_model: int = D_MODEL
     n_heads: int = N_HEAD
     n_layers: int = N_LAYER
+    remat: bool = False  # recompute encoder layers in backward (see matcher.py)
 
     @nn.compact
     def __call__(self, inputs, deterministic: bool = True):
@@ -39,7 +40,8 @@ class TransformerLM(nn.Module):
         e = embed_or_project(inputs, tok.embedding.astype(self.dtype))
         e = e + pos(jnp.arange(L))[None, :, :]
         h = TransformerEncoder(self.n_layers, self.d_model, self.n_heads,
-                               dtype=self.dtype, name="lm")(e, deterministic)
+                               dtype=self.dtype, remat=self.remat,
+                               name="lm")(e, deterministic)
         return nn.Dense(self.n_vocab, kernel_init=linear_kernel_init,
                         bias_init=linear_bias_init(self.d_model), dtype=self.dtype,
                         name="fwd")(h)

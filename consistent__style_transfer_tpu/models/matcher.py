@@ -27,6 +27,12 @@ class PairMatcher(nn.Module):
     d_model: int = D_MODEL
     n_heads: int = N_HEAD
     n_layers: int = N_LAYER
+    # remat the encoder layers: recompute each layer in backward instead of
+    # saving its activations (incl. the per-head (B, H, L, L) attention
+    # probabilities). Numerics are unchanged (lifted transform; dropout rngs
+    # replay). Measured noise-level on the fused optimize step at yelp scale
+    # (RESULTS.md "remat scorers A/B") — a memory lever, not a speed lever.
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x1, x2, deterministic: bool = True):
@@ -45,7 +51,8 @@ class PairMatcher(nn.Module):
 
         h = jnp.concatenate([embed(x1, 0), embed(x2, 1)], axis=1)
         h = TransformerEncoder(self.n_layers, self.d_model, self.n_heads,
-                               dtype=self.dtype, name="matcher")(h, deterministic)
+                               dtype=self.dtype, remat=self.remat,
+                               name="matcher")(h, deterministic)
         pooled = jnp.max(h, axis=1)
         out = nn.Dense(1, kernel_init=linear_kernel_init,
                        bias_init=linear_bias_init(self.d_model), dtype=self.dtype,

@@ -121,12 +121,13 @@ def _scorer_size_kw(cfg: Config) -> dict:
 
 def build_matcher(cfg: Config, n_vocab: int) -> PairMatcher:
     return PairMatcher(n_vocab=n_vocab, dtype=compute_dtype(cfg),
-                       **_scorer_size_kw(cfg))
+                       remat=cfg.remat_scorers, **_scorer_size_kw(cfg))
 
 
 def build_lm(cfg: Config, n_vocab: int) -> TransformerLM:
     return TransformerLM(n_vocab=n_vocab, n_class=cfg.n_class,
-                         dtype=compute_dtype(cfg), **_scorer_size_kw(cfg))
+                         dtype=compute_dtype(cfg), remat=cfg.remat_scorers,
+                         **_scorer_size_kw(cfg))
 
 
 def build_discriminator(cfg: Config, n_vocab: int) -> RelGANDiscriminator:

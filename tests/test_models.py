@@ -69,6 +69,25 @@ def test_matcher_pair_scalar(hard_batch, soft_batch, keys):
     assert out2.shape == (B,)
 
 
+def test_matcher_remat_identical(hard_batch, keys):
+    # remat_scorers is a lifted transform: forward AND gradients must be
+    # bit-identical to the save-activations default (RESULTS.md "remat
+    # scorers A/B" — the knob is a memory lever, not a numerics change).
+    x, _ = hard_batch
+    save = PairMatcher(n_vocab=V)
+    re = PairMatcher(n_vocab=V, remat=True)
+    params = save.init(keys[5], x, x)
+
+    def loss(m, p):
+        return jnp.sum(m.apply(p, x, x) ** 2)
+
+    np.testing.assert_array_equal(save.apply(params, x, x),
+                                  re.apply(params, x, x))
+    g1 = jax.grad(lambda p: loss(save, p))(params)
+    g2 = jax.grad(lambda p: loss(re, p))(params)
+    jax.tree_util.tree_map(np.testing.assert_array_equal, g1, g2)
+
+
 def test_discriminator_logits_per_rep(hard_batch, soft_batch, keys):
     x, _ = hard_batch
     model = RelGANDiscriminator(n_vocab=V)
