@@ -117,6 +117,37 @@ def _flops_of(lowerable, *args, **static) -> float | None:
         return None
 
 
+def _devices_with_retry(attempts: int = 4, wait_s: float = 90.0):
+    """Bring up the JAX backend, retrying transient tunnel failures.
+
+    The single TPU chip here is reached through a tunnel that can blip for
+    minutes at a time (observed: backend init hanging ~30 min then raising
+    UNAVAILABLE). The driver records this script's one JSON line as the
+    round's bench — a transient blip must not turn into an empty record, so
+    retry with a bounded backoff before giving up loudly."""
+    import time as _time
+
+    import jax
+
+    for attempt in range(attempts):
+        try:
+            devs = jax.devices()
+            if (devs[0].platform == "cpu"
+                    and os.environ.get("TPUST_BENCH_ALLOW_CPU") != "1"):
+                # a CPU "bench" is a bogus record, not a benchmark
+                raise SystemExit(
+                    "bench: resolved to the CPU backend — refusing to record "
+                    "a non-TPU number (set TPUST_BENCH_ALLOW_CPU=1 to force)")
+            return devs
+        except RuntimeError as e:  # xla_bridge raises RuntimeError on init
+            if attempt == attempts - 1:
+                raise
+            print(f"bench: backend init failed (attempt {attempt + 1}/"
+                  f"{attempts}): {e}; retrying in {wait_s:.0f}s",
+                  file=__import__("sys").stderr, flush=True)
+            _time.sleep(wait_s)
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -142,7 +173,7 @@ def main() -> None:
     cfg.backbone = os.environ.get("TPUST_BENCH_BACKBONE", cfg.backbone)
     if os.environ.get("TPUST_BENCH_BATCH"):
         B = int(os.environ["TPUST_BENCH_BATCH"])
-    n_dev = len(jax.devices())
+    n_dev = len(_devices_with_retry())
     mesh = make_mesh(n_dev, 1)
     models = OptimizeModels(cfg, V)
 
