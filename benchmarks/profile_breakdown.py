@@ -85,6 +85,11 @@ def main() -> None:
                     help="recompute the matcher/LM encoder layers in "
                     "backward (Config.remat_scorers) — A/B for the saved-"
                     "attention-probs copy bucket")
+    ap.add_argument("--fuse-gan", action="store_true",
+                    help="reuse the G-step's fake decode for the D step "
+                    "(Config.fuse_gan_steps) — A/B for the second rollout's "
+                    "cost; changes D semantics vs the reference (D sees the "
+                    "PRE-update G's decode), so opt-in only")
     args = ap.parse_args()
 
     import jax
@@ -128,6 +133,8 @@ def main() -> None:
     cfg.dtype = args.dtype
     cfg.remat_scorers = args.remat_scorers
     res["remat_scorers"] = args.remat_scorers
+    cfg.fuse_gan_steps = args.fuse_gan
+    res["fuse_gan_steps"] = args.fuse_gan
     mesh = make_mesh(len(jax.devices()), 1)
     models = OptimizeModels(cfg, V)
     key = jax.random.PRNGKey(0)
