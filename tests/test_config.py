@@ -47,3 +47,30 @@ def test_unknown_override_rejected():
 
     with pytest.raises(ValueError):
         make_config("yelp", nonexistent_knob=1)
+
+
+def test_make_key_honors_rng_impl():
+    # rng_impl="rbg" (production default since round 4) must produce a
+    # typed key whose impl survives split/fold_in — one switch in make_key
+    # covers every downstream step_rngs derivation. threefry stays
+    # bit-compatible with PRNGKey for pre-round-4 artifacts.
+    import jax
+    import jax.numpy as jnp
+
+    from consistent__style_transfer_tpu.train.common import make_key, step_rngs
+
+    cfg = make_config("tiny")
+    assert cfg.rng_impl == "rbg"
+    k = make_key(cfg)
+    assert jax.random.key_impl(k) == jax.random.key_impl(
+        jax.random.key(0, impl="rbg"))
+    rngs = step_rngs(k, 3)
+    assert set(rngs) == {"dropout", "coin"}
+    # derived keys keep the impl and generate usable bits
+    assert jax.random.key_impl(rngs["dropout"]) == jax.random.key_impl(k)
+    bits = jax.random.uniform(rngs["coin"], (4,))
+    assert jnp.all((bits >= 0) & (bits < 1))
+
+    cfg.rng_impl = "threefry"
+    k2 = make_key(cfg)
+    assert jnp.array_equal(k2, jax.random.PRNGKey(cfg.seed))
