@@ -47,7 +47,9 @@ def main() -> None:
     from consistent__style_transfer_tpu.train.warmup import run_warmup
 
     b = args.base
-    cfg = make_config("yelp")  # yelp-shaped presets (max_len 18, batch 256)
+    # shape preset follows the dataset family: book runs at its own
+    # max_len 30 / batch 128 (reference book.sh), everything else yelp-shaped
+    cfg = make_config("book" if args.dataset.startswith("book") else "yelp")
     cfg.dataset = args.dataset
     cfg.data_dir = f"{b}/data"
     cfg.dump_dir = f"{b}/dump"
