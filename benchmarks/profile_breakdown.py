@@ -177,9 +177,16 @@ def main() -> None:
         leaf = jax.tree.leaves(tree)[0]
         float(jnp.asarray(leaf).ravel()[0])
 
+    # AOT-compile the fused step ONCE and reuse the executable for the
+    # timing loop, the trace capture, and the optimized-HLO text below —
+    # a second .lower().compile() for the HLO used to double the wall of
+    # every profile run on this tunneled chip (~37 s compiles)
+    fused_exec = steps.fused_step.lower(
+        g_state, d_state, acc0, frozen, batch, bk, db, 0,
+        do_apply=True).compile()
+
     t_fused = _timeit(
-        lambda: steps.fused_step(g_state, d_state, acc0, frozen, batch, bk,
-                                 db, 0, do_apply=True),
+        lambda: fused_exec(g_state, d_state, acc0, frozen, batch, bk, db, 0),
         fetch, iters=args.iters)
     t_decode = _timeit(
         lambda: decode(g_state.params, batch["x"], batch["labels"]),
@@ -208,8 +215,7 @@ def main() -> None:
     # 3. top device-time ops of the fused step (best-effort), with per-op
     # drill-down in the two named residual buckets (VERDICT r3 item 2)
     def run_fused():
-        out = steps.fused_step(g_state, d_state, acc0, frozen, batch, bk, db,
-                               0, do_apply=True)
+        out = fused_exec(g_state, d_state, acc0, frozen, batch, bk, db, 0)
         jax.block_until_ready(out)
 
     detail = ("copy", "convert_reduce_fusion")
@@ -219,9 +225,7 @@ def main() -> None:
 
     # 3b. map the drilled-down op names to their optimized-HLO definitions
     try:
-        hlo = steps.fused_step.lower(
-            g_state, d_state, acc0, frozen, batch, bk, db, 0,
-            do_apply=True).compile().as_text()
+        hlo = fused_exec.as_text()
         names = [d["op"]
                  for oc in (res["top_ops"].get("sync", {})
                             .get("opcode_detail", {}) or {}).values()

@@ -10,7 +10,7 @@ shapes. Mirrors the reference's single-GPU loop
 (``/root/reference/src/main_optimize.py:96-141``) scaled onto a device mesh.
 
 Gate-budget design (VERDICT r3 item 1): the exercise compiles the fused GAN
-step exactly ONCE (``fused_step_dyn`` traces ``do_apply`` through
+step exactly ONCE (``fused_step_dyn_fn`` traces ``do_apply`` through
 ``lax.cond`` instead of branch-specializing it), shrinks the frozen
 Matcher/LM scorers to 2-layer/d=128 (the TP sharding rules only need dims
 divisible by the model axis, not the reference's full 6L/512 towers —
@@ -140,12 +140,13 @@ def optimize_step_on_mesh(n_data: int, n_model: int, *, vocab: int = 256,
 
     rep = NamedSharding(mesh, P())
     sh_of = lambda tree: jax.tree.map(lambda x: x.sharding, tree)
-    aux_sh = {k: rep for k in
-              ("G", "STI", "CP", "BK", "loss")}  # g_loss_fn aux scalars
+    # aux is a dict of scalars whose keys depend on config (REC/COPY appear
+    # when w_rec/w_copy > 0): a single replicated sharding as a PYTREE
+    # PREFIX covers whatever structure g_loss_fn emits
     fused_dyn = jax.jit(
         steps.fused_step_dyn_fn,
         out_shardings=(sh_of(g_state), sh_of(d_state), sh_of(acc),
-                       aux_sh, rep))
+                       rep, rep))
     losses = []
     for step in range(n_steps):
         do_apply = step % every == 0

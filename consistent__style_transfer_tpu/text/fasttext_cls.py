@@ -269,7 +269,8 @@ class FastTextClassifier:
         self.fit_meta = {
             "sgd_path": "minibatch" if use_batched else "sequential",
             "batch_size": int(B) if use_batched else 1,
-            "retries": attempts.index(B) if use_batched else 0,
+            "retries": i if use_batched else 0,  # loop index, not .index():
+            # attempts can contain duplicate batch sizes (B<=16 floors at 1)
             "clip": self.clip, "n_examples": N,
         }
         self.emb = emb_np  # np.array copies: jax buffers are read-only

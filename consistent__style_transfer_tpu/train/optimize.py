@@ -146,8 +146,10 @@ class OptimizeSteps(NamedTuple):
     accumulate: callable
     val_step: callable
     fused_step: callable
-    fused_step_dyn: callable
-    fused_step_dyn_fn: callable  # unjitted: callers pin out_shardings
+    fused_step_dyn_fn: callable  # unjitted: callers jit it themselves
+    # with out_shardings pinned (see its docstring) — no pre-jitted export,
+    # because plain jit of this variant on an explicit mesh is the
+    # double-compile footgun the docstring warns about
 
 
 def make_optimize_steps(cfg: Config, models: OptimizeModels,
@@ -345,12 +347,12 @@ def make_optimize_steps(cfg: Config, models: OptimizeModels,
         update in-graph every batch (negligible next to the GAN rollouts,
         but the production loop keeps the branch-specialized variant).
 
-        Exported unjitted too (``fused_step_dyn_fn``): on an explicit mesh
-        the caller must jit it with ``out_shardings`` pinned to the input
-        layout — otherwise XLA's sharding propagation re-lays-out the
-        returned D-grad accumulator (model-sharded via the generator's TP
-        vocab head), and the next call's changed input shardings force a
-        SECOND full compile (measured 37 s each in the driver gate)."""
+        Exported UNJITTED only: on an explicit mesh the caller must jit it
+        with ``out_shardings`` pinned to the input layout — otherwise XLA's
+        sharding propagation re-lays-out the returned D-grad accumulator
+        (model-sharded via the generator's TP vocab head), and the next
+        call's changed input shardings force a SECOND full compile
+        (measured 37 s each in the driver gate)."""
         g_state, d_state, acc, aux, d_loss = _fused_core(
             g_state, d_state, acc, frozen, batch, base_key, d_base, step,
             copy_scale)
@@ -362,11 +364,8 @@ def make_optimize_steps(cfg: Config, models: OptimizeModels,
             d_state, acc)
         return g_state, d_state, acc, aux, d_loss
 
-    fused_step_dyn = jax.jit(fused_step_dyn_fn)
-
     return OptimizeSteps(g_step, d_grads, d_grads_reuse, d_apply, accumulate,
-                         val_step, fused_step, fused_step_dyn,
-                         fused_step_dyn_fn)
+                         val_step, fused_step, fused_step_dyn_fn)
 
 
 def run_optimize(cfg: Config, progress: bool = True,

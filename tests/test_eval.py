@@ -275,9 +275,11 @@ def test_fasttext_b256_clip_stability():
     (measured at 540k scale: dev P@1 0.9995)."""
     from consistent__style_transfer_tpu.text.fasttext_cls import FastTextClassifier
 
+    root = os.path.join(os.path.dirname(__file__), "..")
     labels, texts = [], []
     for lab in (0, 1):
-        for line in open(f"data/yelp/style.train.{lab}"):
+        for line in open(os.path.join(root, "data", "yelp",
+                                      f"style.train.{lab}")):
             line = line.strip()
             if line:
                 labels.append(f"__label__{lab}")

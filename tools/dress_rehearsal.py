@@ -90,6 +90,17 @@ def main() -> None:
             validate_style_file,
         )
 
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                old = json.load(f)
+            if not old.get("real"):
+                # the train files present are a SYNTHETIC corpus from a
+                # prior run — format validation alone cannot tell; refuse
+                # rather than relabel stand-ins as real measurements
+                raise SystemExit(
+                    f"--real-data: {ds_dir} holds a synthetic corpus "
+                    f"(corpus_meta {old}); delete style.train.* (and the "
+                    "meta) and drop in the real files first")
         stats = {}
         for s in (0, 1):
             p = f"{ds_dir}/style.train.{s}"
@@ -117,12 +128,22 @@ def main() -> None:
                     "measuring the stale one")
         else:
             # pre-meta base (corpus written before this guard existed):
-            # adopt it under the requested parameters rather than breaking
-            # --skip-done resumption, but say so
-            print(f"[rehearsal] {ds_dir} has no corpus_meta.json; adopting "
-                  f"the existing corpus as {corpus_meta}", flush=True)
-            with open(meta_path, "w") as f:
-                json.dump(corpus_meta, f)
+            # adopt it ONLY under the tool's default generation parameters —
+            # keeping --skip-done resumption for the common case without
+            # letting a non-default request mislabel an unknown corpus
+            if (args.mult == ap.get_default("mult")
+                    and args.recombine == ap.get_default("recombine")):
+                print(f"[rehearsal] {ds_dir} has no corpus_meta.json; "
+                      f"adopting the existing corpus as {corpus_meta}",
+                      flush=True)
+                with open(meta_path, "w") as f:
+                    json.dump(corpus_meta, f)
+            else:
+                raise SystemExit(
+                    f"{ds_dir} holds a corpus with no corpus_meta.json "
+                    f"(generated with unknown parameters), and this run "
+                    f"asked for non-default {corpus_meta}; use a fresh "
+                    "--base (or delete the corpus) instead of relabeling it")
     else:
         cmd = [
             sys.executable, os.path.join(ROOT, "tools", "make_synthetic_train.py"),

@@ -23,7 +23,9 @@ def main() -> None:
     ap.add_argument("--base", default="workdir/smoke")
     ap.add_argument("--epochs", type=int, default=2)
     ap.add_argument("--warmup_epochs", type=int, default=2)
-    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--batch", type=int, default=None,
+                    help="override the dataset preset's batch (yelp 256, "
+                    "book 128); default keeps the preset")
     ap.add_argument("--vocab", type=int, default=6000)
     ap.add_argument("--backbone", default="lstm")
     ap.add_argument("--platform", default=None, help="cpu to force CPU")
@@ -57,8 +59,9 @@ def main() -> None:
     cfg.out_dir = f"{b}/output"
     cfg.ver = args.ver
     cfg.vocab_size = args.vocab
-    cfg.batch_size = args.batch
-    cfg.warmup_batch_size = min(512, args.batch * 2)
+    if args.batch is not None:
+        cfg.batch_size = args.batch
+        cfg.warmup_batch_size = min(512, args.batch * 2)
     cfg.epochs = args.epochs
     cfg.warmup_epochs = args.warmup_epochs
     cfg.backbone = args.backbone
