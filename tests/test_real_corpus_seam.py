@@ -152,3 +152,38 @@ def test_dress_rehearsal_real_data_one_command(real_dir, tmp_path):
     assert "drop the real corpus" in (r2.stdout + r2.stderr)
     assert not os.path.exists(os.path.join(base2, "data", "yelp",
                                            "style.train.0"))
+
+    # a synthetic corpus left in the base must NOT be relabeled real: the
+    # files pass format validation, so only the meta can tell — refuse
+    base3 = str(tmp_path / "stale_synth")
+    ds3 = os.path.join(base3, "data", "yelp")
+    os.makedirs(ds3)
+    for s in (0, 1):
+        with open(os.path.join(ds3, f"style.train.{s}"), "w") as f:
+            f.write("synthetic stand-in line\n" * 10)
+    with open(os.path.join(ds3, "corpus_meta.json"), "w") as f:
+        json.dump({"mult": 135, "recombine": 0.0}, f)
+    r3 = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "tools", "dress_rehearsal.py"),
+         "--base", base3, "--real-data", "--stop-after", "corpus"],
+        capture_output=True, text=True, env=env, cwd=ROOT, timeout=120)
+    assert r3.returncode != 0
+    assert "synthetic corpus" in (r3.stdout + r3.stderr)
+    meta3 = json.load(open(os.path.join(ds3, "corpus_meta.json")))
+    assert "real" not in meta3  # meta untouched by the refused run
+
+    # a pre-meta corpus is adopted only under DEFAULT generation params:
+    # a non-default request must refuse instead of relabeling it
+    base4 = str(tmp_path / "premeta")
+    ds4 = os.path.join(base4, "data", "yelp")
+    os.makedirs(ds4)
+    for s in (0, 1):
+        with open(os.path.join(ds4, f"style.train.{s}"), "w") as f:
+            f.write("pre meta corpus line\n" * 10)
+    r4 = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "tools", "dress_rehearsal.py"),
+         "--base", base4, "--mult", "50", "--stop-after", "corpus"],
+        capture_output=True, text=True, env=env, cwd=ROOT, timeout=120)
+    assert r4.returncode != 0
+    assert "unknown parameters" in (r4.stdout + r4.stderr)
+    assert not os.path.exists(os.path.join(ds4, "corpus_meta.json"))
