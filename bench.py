@@ -117,14 +117,16 @@ def _flops_of(lowerable, *args, **static) -> float | None:
         return None
 
 
-def _devices_with_retry(attempts: int = 4, wait_s: float = 90.0):
+def _devices_with_retry(attempts: int = 2, wait_s: float = 90.0):
     """Bring up the JAX backend, retrying transient tunnel failures.
 
     The single TPU chip here is reached through a tunnel that can blip for
     minutes at a time (observed: backend init hanging ~30 min then raising
     UNAVAILABLE). The driver records this script's one JSON line as the
     round's bench — a transient blip must not turn into an empty record, so
-    retry with a bounded backoff before giving up loudly."""
+    retry with a bounded backoff before giving up loudly. Two attempts
+    only: during a real outage each attempt itself HANGS ~25 min inside
+    backend init before raising, so more retries just stall the caller."""
     import time as _time
 
     import jax
