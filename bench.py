@@ -150,6 +150,21 @@ def _devices_with_retry(attempts: int = 2, wait_s: float = 90.0):
             _time.sleep(wait_s)
 
 
+def _enable_xla_cache() -> None:
+    """Persistent XLA compilation cache shared with __graft_entry__: the
+    bench compiles the full fused GAN step + decode + sustained pipeline
+    (~minutes cold on the tunneled chip); caching them makes repeat driver
+    runs near-instant and keeps the benched numbers compile-free."""
+    import jax
+
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "workdir", "xla_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -175,6 +190,7 @@ def main() -> None:
     cfg.backbone = os.environ.get("TPUST_BENCH_BACKBONE", cfg.backbone)
     if os.environ.get("TPUST_BENCH_BATCH"):
         B = int(os.environ["TPUST_BENCH_BATCH"])
+    _enable_xla_cache()
     n_dev = len(_devices_with_retry())
     mesh = make_mesh(n_dev, 1)
     models = OptimizeModels(cfg, V)
