@@ -85,6 +85,10 @@ def main() -> None:
                     help="recompute the matcher/LM encoder layers in "
                     "backward (Config.remat_scorers) — A/B for the saved-"
                     "attention-probs copy bucket")
+    ap.add_argument("--time-major", action="store_true",
+                    help="keep the G-step's soft decode stacks time-major "
+                    "(Config.time_major_probs) — A/B for the generator "
+                    "scan-output transposes in the copy bucket")
     ap.add_argument("--fuse-gan", action="store_true",
                     help="reuse the G-step's fake decode for the D step "
                     "(Config.fuse_gan_steps) — A/B for the second rollout's "
@@ -135,6 +139,8 @@ def main() -> None:
     res["remat_scorers"] = args.remat_scorers
     cfg.fuse_gan_steps = args.fuse_gan
     res["fuse_gan_steps"] = args.fuse_gan
+    cfg.time_major_probs = args.time_major
+    res["time_major_probs"] = args.time_major
     mesh = make_mesh(len(jax.devices()), 1)
     models = OptimizeModels(cfg, V)
     key = jax.random.PRNGKey(0)

@@ -99,6 +99,12 @@ class Config:
     # backward traffic, not scorer attention probs; RESULTS.md "remat
     # scorers A/B"). Kept as a memory lever for larger scorer towers;
     # benchmarks/profile_breakdown.py --remat-scorers measures the trade.
+    time_major_probs: bool = False  # keep the G-step's soft decode stacks in
+    # the scan's native (L, B, V) layout end-to-end: the scorers fuse the
+    # batch-major relayout after their V->d projection (33-77x less copied
+    # data than transposing the probs — RESULTS.md "copy bucket" item 2).
+    # Losses are layout-invariant (tests/test_optimize_losses.py); LSTM
+    # backbone only (the transformer decodes batch-major natively).
     rep_penalty: float = 0.0  # greedy-decode repetition penalty (alpha >= 0);
     # subtracts alpha*count(token emitted so far) from the logits of content
     # tokens at inference. 0 = off (reference-faithful decode)

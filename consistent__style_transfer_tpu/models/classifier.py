@@ -30,10 +30,13 @@ class TextCNN(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True,
+                 time_major: bool = False):
         emb = nn.Embed(self.n_vocab, D_EMBED, embedding_init=embedding_init,
                        dtype=self.dtype, name="embedding")
-        e = embed_or_project(x, emb.embedding.astype(self.dtype))  # (B, L, E)
+        # time_major: soft x arrives (L, B, V); projection absorbs the relayout
+        e = embed_or_project(x, emb.embedding.astype(self.dtype),
+                             time_major=time_major)  # (B, L, E)
 
         pooled = []
         for size, n_filt in zip(KERNELS, N_FILTERS):

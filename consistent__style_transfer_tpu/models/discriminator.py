@@ -34,10 +34,13 @@ class RelGANDiscriminator(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, inp, deterministic: bool = True):
-        """inp: int ids (B, L) or distributions (B, L, V) -> logits (B*16,)."""
+    def __call__(self, inp, deterministic: bool = True,
+                 time_major: bool = False):
+        """inp: int ids (B, L) or distributions (B, L, V) -> logits (B*16,).
+        ``time_major``: soft inp is (L, B, V); projection absorbs the relayout."""
         emb_w = self.param("embeddings", relgan_init, (self.n_vocab, EMBED_DIM))
-        e = embed_or_project(inp, emb_w.astype(self.dtype))        # (B, L, 128)
+        e = embed_or_project(inp, emb_w.astype(self.dtype),
+                             time_major=time_major)                # (B, L, 128)
         B, L = e.shape[0], e.shape[1]
         # (B, L, 16, 8) -> (B, 16, L, 8): each rep slice becomes a conv lane
         e = e.reshape(B, L, NUM_REP, EMB_DIM_SINGLE).transpose(0, 2, 1, 3)

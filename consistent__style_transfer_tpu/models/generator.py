@@ -233,6 +233,7 @@ class DenoiseSeq2Seq(nn.Module):
         mode: str = "sched",
         tau: float = 1.0,
         deterministic: bool = False,
+        time_major_out: bool = False,
     ) -> jnp.ndarray:
         """Returns (B, L_out, V): probs when mode="st", logits when "sched";
         mode="greedy" returns token ids (B, L_out) directly (inference fast
@@ -240,7 +241,13 @@ class DenoiseSeq2Seq(nn.Module):
         gumbel-softmax variant (probs out, needs a "gumbel" rng). L_out =
         x.shape[1] when a teacher x is given, else self.max_len (reference
         ``rnn.py:65``); mode="teacher" is fully teacher-forced logits (no
-        scheduled-sampling coin; beam rescoring path)."""
+        scheduled-sampling coin; beam rescoring path).
+
+        ``time_major_out=True`` returns the decode scan's native (L_out, B, V)
+        stack without the final swapaxes — the (B, L, V) relayout of the soft
+        probs is a 92 MB copy per rollout per direction at yelp scale
+        (RESULTS.md "copy bucket" item 2); consumers fuse the transpose after
+        their V->d embedding projection instead (33-77x smaller)."""
         assert mode in ("st", "sched", "greedy", "gumbel", "teacher")
         token_embedding = nn.Embed(self.n_vocab, D_EMBED,
                                    embedding_init=embedding_init,
@@ -328,6 +335,8 @@ class DenoiseSeq2Seq(nn.Module):
         else:
             carry0 = (h0, c0, x0)
         _, outs = step(carry0, (teacher, coins), memory, emb_table)
+        if time_major_out:
+            return outs  # (L_out, B, V) or (L_out, B) ids — scan-native
         return jnp.swapaxes(outs, 0, 1)  # (B, L_out, V) or (B, L_out) ids
 
 

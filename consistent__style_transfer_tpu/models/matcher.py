@@ -35,7 +35,12 @@ class PairMatcher(nn.Module):
     remat: bool = False
 
     @nn.compact
-    def __call__(self, x1, x2, deterministic: bool = True):
+    def __call__(self, x1, x2, deterministic: bool = True,
+                 time_major: bool = False):
+        """``time_major``: x1 is a soft (L, B, V) decode stack (generator
+        ``time_major_out``); the V->d projection absorbs the relayout. x2 is
+        always batch-major ids. Dims are read off the post-projection
+        embedding (always (B, L, d)), so both layouts share one path."""
         tok = nn.Embed(self.n_vocab, self.d_model, embedding_init=embedding_init,
                        dtype=self.dtype, name="token_embedding")
         pos = nn.Embed(MAX_POS, self.d_model, embedding_init=embedding_init,
@@ -44,12 +49,12 @@ class PairMatcher(nn.Module):
                        dtype=self.dtype, name="segment_embedding")
         table = tok.embedding.astype(self.dtype)
 
-        def embed(x, seg_id):
-            e = embed_or_project(x, table)
-            e = e + pos(jnp.arange(x.shape[1]))[None, :, :]
-            return e + seg(jnp.full((x.shape[0],), seg_id, jnp.int32))[:, None, :]
+        def embed(x, seg_id, tm=False):
+            e = embed_or_project(x, table, time_major=tm)
+            e = e + pos(jnp.arange(e.shape[1]))[None, :, :]
+            return e + seg(jnp.full((e.shape[0],), seg_id, jnp.int32))[:, None, :]
 
-        h = jnp.concatenate([embed(x1, 0), embed(x2, 1)], axis=1)
+        h = jnp.concatenate([embed(x1, 0, time_major), embed(x2, 1)], axis=1)
         h = TransformerEncoder(self.n_layers, self.d_model, self.n_heads,
                                dtype=self.dtype, remat=self.remat,
                                name="matcher")(h, deterministic)

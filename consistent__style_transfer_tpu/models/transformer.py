@@ -106,13 +106,21 @@ class TransformerEncoder(nn.Module):
         return x
 
 
-def embed_or_project(x, table, dtype=None):
+def embed_or_project(x, table, dtype=None, time_major=False):
     """Dual input path shared by every model in the zoo (reference pattern,
     e.g. ``src/model/classifier.py:24-27``): integer ids -> row gather; soft
     distributions (B, L, V) -> matmul with the embedding table (identical math
-    to one-hot @ table, without materializing the one-hot)."""
+    to one-hot @ table, without materializing the one-hot).
+
+    ``time_major=True``: a SOFT input arrives in the decoder scan's native
+    (L, B, V) layout (generator ``time_major_out``); project first, then
+    transpose the (L, B, d) result — the same matmul contraction, but the
+    relayout moves V/d (33-77x) less data than transposing the probs.
+    Integer ids are always batch-major; the flag is ignored for them."""
     if jnp.issubdtype(x.dtype, jnp.integer):
         out = jnp.take(table, x, axis=0)
     else:
         out = x @ table
+        if time_major:
+            out = jnp.swapaxes(out, 0, 1)  # (L, B, d) -> (B, L, d)
     return out.astype(dtype) if dtype is not None else out

@@ -83,23 +83,38 @@ def build_generator(cfg: Config, n_vocab: int):
 
 
 def generator_call(model, params, inp, label_i, x, label, mode="sched",
-                   tau=1.0, deterministic=True, rngs=None):
+                   tau=1.0, deterministic=True, rngs=None,
+                   time_major_out=False):
     """Backbone-agnostic generator invocation with the reference call
     semantics (inp, input-style, teacher x, output-style, decode mode). The
     LSTM backbone handles every mode inside one apply; the transformer
-    backbone's autoregressive modes run the KV-cached lax.scan driver."""
+    backbone's autoregressive modes run the KV-cached lax.scan driver.
+
+    ``time_major_out``: return soft outputs as (L, B, V) — the LSTM scan's
+    native stack layout, skipping its 92 MB (B, L, V) relayout (see
+    ``DenoiseSeq2Seq.__call__``). The transformer backbone decodes
+    batch-major natively, so there it is emulated with a swapaxes (only for
+    layout-contract consistency; ``Config.time_major_probs`` is an LSTM
+    optimization and stays off for the transformer backbone)."""
+    import jax.numpy as jnp
+
     from ..models.seq2seq_transformer import TransformerSeq2Seq, generate
 
     if isinstance(model, TransformerSeq2Seq):
         if mode == "sched" and x is not None:
-            return model.apply(params, inp, label_i, x, label, mode="sched",
-                               deterministic=deterministic, rngs=rngs)
-        L_out = None if x is None else x.shape[1]
-        return generate(model, params, inp, label_i, label, mode=mode,
-                        tau=tau, rngs=rngs, deterministic=deterministic,
-                        L_out=L_out)
+            out = model.apply(params, inp, label_i, x, label, mode="sched",
+                              deterministic=deterministic, rngs=rngs)
+        else:
+            L_out = None if x is None else x.shape[1]
+            out = generate(model, params, inp, label_i, label, mode=mode,
+                           tau=tau, rngs=rngs, deterministic=deterministic,
+                           L_out=L_out)
+        if time_major_out and out.ndim == 3:
+            out = jnp.swapaxes(out, 0, 1)
+        return out
     return model.apply(params, inp, label_i, x, label, mode=mode, tau=tau,
-                       deterministic=deterministic, rngs=rngs)
+                       deterministic=deterministic, rngs=rngs,
+                       time_major_out=time_major_out)
 
 
 def build_classifier(cfg: Config, n_vocab: int) -> TextCNN:

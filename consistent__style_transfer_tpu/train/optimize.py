@@ -166,30 +166,46 @@ def make_optimize_steps(cfg: Config, models: OptimizeModels,
     w_rec = cfg.w_rec
     w_copy = cfg.w_copy
     fuse_gan = cfg.fuse_gan_steps
+    # time-major soft decode stacks (Config.time_major_probs): LSTM backbone
+    # only — the transformer decodes batch-major natively, so the flag would
+    # just move the transpose around
+    tm = cfg.time_major_probs and cfg.backbone == "lstm"
 
     from .common import generator_call
 
-    def st_decode(g_params, batch, rngs, deterministic):
+    def st_decode(g_params, batch, rngs, deterministic, time_major=False):
         return generator_call(G, g_params, batch["x"], batch["labels"], None,
                               1 - batch["labels"], mode="st", tau=tau,
-                              deterministic=deterministic, rngs=rngs)
+                              deterministic=deterministic, rngs=rngs,
+                              time_major_out=time_major)
 
     def g_loss_fn(g_params, d_params, frozen, batch, rngs, copy_scale=1.0):
-        sample_p = st_decode(g_params, batch, rngs, deterministic=False)
+        # sample_p layout: (L, B, V) when tm else (B, L, V). Every consumer
+        # below is layout-aware; the losses are means over B*L / argmaxes
+        # over V, so the values are identical either way
+        sample_p = st_decode(g_params, batch, rngs, deterministic=False,
+                             time_major=tm)
         s_logits = CLS.apply(frozen["cls"], sample_p, deterministic=False,
-                             rngs=rngs)
+                             rngs=rngs, time_major=tm)
         c_logits = MAT.apply(frozen["mat"], sample_p, batch["x"],
-                             deterministic=False, rngs=rngs)
-        adv_logits = D.apply(d_params, sample_p, deterministic=True)
+                             deterministic=False, rngs=rngs, time_major=tm)
+        adv_logits = D.apply(d_params, sample_p, deterministic=True,
+                             time_major=tm)
+        bk_inp = jax.lax.stop_gradient(jnp.argmax(sample_p, -1))
+        if tm:
+            bk_inp = bk_inp.T  # (L, B) -> (B, L) ids: tiny int transpose
         bk_logits = generator_call(
-            G, g_params, jax.lax.stop_gradient(jnp.argmax(sample_p, -1)),
+            G, g_params, bk_inp,
             1 - batch["labels"], batch["x"], batch["labels"],
-            mode="sched", deterministic=False, rngs=rngs,
+            mode="sched", deterministic=False, rngs=rngs, time_major_out=tm,
         )
         s_loss = cross_entropy(s_logits, 1 - batch["labels"])
         c_loss = mse(c_logits, jnp.full_like(c_logits, gap))
         adv_loss = bce_with_logits(adv_logits, jnp.ones_like(adv_logits))
-        bk_loss = softmax_cross_entropy_tokens(bk_logits, batch["x"])
+        # CE mean over B*L is transpose-invariant: time-major logits pair
+        # with time-major targets
+        bk_tgt = batch["x"].T if tm else batch["x"]
+        bk_loss = softmax_cross_entropy_tokens(bk_logits, bk_tgt)
         total = w_bt * bk_loss + w_c * c_loss + w_adv * adv_loss + w_s * s_loss
         aux = {"G": adv_loss, "STI": s_loss, "CP": jnp.mean(c_logits),
                "BK": bk_loss}
@@ -200,8 +216,9 @@ def make_optimize_steps(cfg: Config, models: OptimizeModels,
             rec_logits = generator_call(
                 G, g_params, batch["x"], batch["labels"], batch["x"],
                 batch["labels"], mode="sched", deterministic=False,
-                rngs=rngs)
-            rec_loss = softmax_cross_entropy_tokens(rec_logits, batch["x"])
+                rngs=rngs, time_major_out=tm)
+            rec_tgt = batch["x"].T if tm else batch["x"]
+            rec_loss = softmax_cross_entropy_tokens(rec_logits, rec_tgt)
             total = total + w_rec * rec_loss
             aux["REC"] = rec_loss
         if w_copy > 0:
@@ -213,10 +230,14 @@ def make_optimize_steps(cfg: Config, models: OptimizeModels,
             # source content; the style CE still dominates at the
             # style-word positions. Same no-mask mean-over-B*L
             # convention as the reference losses.
-            L = min(sample_p.shape[1], batch["x"].shape[1])
-            src = batch["x"][:, :L]
+            # time axis is 0 when tm, 1 otherwise; src mirrors the layout so
+            # the gathered grid (and every mean over it) is identical
+            t_ax = 0 if tm else 1
+            L = min(sample_p.shape[t_ax], batch["x"].shape[1])
+            src = batch["x"][:, :L].T if tm else batch["x"][:, :L]
             p_src = jnp.take_along_axis(
-                sample_p[:, :L], src[:, :, None], axis=-1)[..., 0]
+                sample_p[:L] if tm else sample_p[:, :L],
+                src[:, :, None], axis=-1)[..., 0]
             nll = -jnp.log(p_src + 1e-9)
             if copy_weights is None:
                 copy_loss = jnp.mean(nll)
@@ -243,8 +264,11 @@ def make_optimize_steps(cfg: Config, models: OptimizeModels,
                 jax.lax.stop_gradient(sample_p))
 
     def _d_loss_fn(dp, fake_p, batch, rngs):
+        # fake_p carries the G-step's layout ((L, B, V) when tm); the real
+        # side is always batch-major ids
         t_logits = D.apply(dp, batch["x"], deterministic=False, rngs=rngs)
-        f_logits = D.apply(dp, fake_p, deterministic=False, rngs=rngs)
+        f_logits = D.apply(dp, fake_p, deterministic=False, rngs=rngs,
+                           time_major=tm)
         d_loss = 0.5 * (
             bce_with_logits(t_logits, jnp.ones_like(t_logits))
             + bce_with_logits(f_logits, jnp.zeros_like(f_logits))
@@ -255,7 +279,8 @@ def make_optimize_steps(cfg: Config, models: OptimizeModels,
     def d_grads(d_params, g_params, batch, rngs):
         """Faithful D step: fresh no-grad fake decode (main_optimize.py:118-119)."""
         fake_p = jax.lax.stop_gradient(
-            st_decode(g_params, batch, rngs, deterministic=False)
+            st_decode(g_params, batch, rngs, deterministic=False,
+                      time_major=tm)
         )
         loss, grads = jax.value_and_grad(_d_loss_fn)(d_params, fake_p, batch, rngs)
         return grads, loss
@@ -314,7 +339,8 @@ def make_optimize_steps(cfg: Config, models: OptimizeModels,
             fake_p = jax.lax.stop_gradient(sample_p)
         else:
             fake_p = jax.lax.stop_gradient(
-                st_decode(g_state.params, batch, d_rngs, deterministic=False))
+                st_decode(g_state.params, batch, d_rngs, deterministic=False,
+                          time_major=tm))
         d_loss, dgrads = jax.value_and_grad(_d_loss_fn)(
             d_state.params, fake_p, batch, d_rngs)
         acc = jax.tree.map(jnp.add, acc, dgrads)

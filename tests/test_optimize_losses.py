@@ -243,3 +243,58 @@ def test_copy_loss_rewards_copying(setup):
     p_src_u = jnp.take_along_axis(p_uniform, x[:, :, None], axis=-1)[..., 0]
     nll_uniform = -jnp.mean(jnp.log(p_src_u + 1e-9))
     assert nll_copy < 0.01 < nll_uniform
+
+
+@pytest.mark.slow
+def test_time_major_probs_is_layout_invariant(setup):
+    """Config.time_major_probs keeps the G-step's soft decode stacks in the
+    scan's native (L, B, V) layout (skipping the 92 MB relayout — RESULTS.md
+    "copy bucket" item 2). The losses, both updated param trees, and the
+    D-side loss must be identical to the batch-major path: the matmul
+    contraction per output element is the same, only the relayout moves.
+    Covers every layout-aware consumer: CLS/MAT/D soft paths, the bk argmax
+    transpose, bk/rec CE on transposed targets, and the w_copy gather."""
+    _, models, frozen, g_params, d_params, batch = setup
+    key = jax.random.PRNGKey(23)
+    opt = adam_with_clip(1e-4, 1.0)
+
+    def run(time_major):
+        cfg = make_config("tiny")
+        cfg.max_len = L
+        cfg.w_rec, cfg.w_copy = 0.5, 1.0  # exercise the rec + copy branches
+        cfg.time_major_probs = time_major
+        steps = make_optimize_steps(cfg, models)
+        g = TrainState.create(g_params, opt)
+        d = TrainState.create(d_params, opt)
+        acc = jax.tree.map(jnp.zeros_like, d.params)
+        g, d, _, aux, dloss = steps.fused_step(
+            g, d, acc, frozen, batch, key, jax.random.fold_in(key, 1), 0,
+            do_apply=True)
+        return g, d, {k: float(v) for k, v in aux.items()}, float(dloss)
+
+    g_bm, d_bm, aux_bm, dloss_bm = run(False)
+    g_tm, d_tm, aux_tm, dloss_tm = run(True)
+
+    for k in aux_bm:
+        assert abs(aux_bm[k] - aux_tm[k]) < 1e-5, f"aux[{k}] diverges"
+    assert abs(dloss_bm - dloss_tm) < 1e-5
+    for a, b in zip(jax.tree.leaves(g_bm.params), jax.tree.leaves(g_tm.params)):
+        assert jnp.allclose(a, b, atol=1e-6), "G params diverge"
+    for a, b in zip(jax.tree.leaves(d_bm.params), jax.tree.leaves(d_tm.params)):
+        assert jnp.allclose(a, b, atol=1e-6), "D params diverge"
+
+
+def test_embed_or_project_time_major():
+    """Soft (L, B, V) input through embed_or_project(time_major=True) equals
+    the batch-major projection; integer ids ignore the flag."""
+    from consistent__style_transfer_tpu.models.transformer import embed_or_project
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(3))
+    probs = jax.nn.softmax(jax.random.normal(k1, (4, 3, V)), -1)  # (B, L, V)
+    table = jax.random.normal(k2, (V, 16))
+    bm = embed_or_project(probs, table)
+    tm = embed_or_project(jnp.swapaxes(probs, 0, 1), table, time_major=True)
+    assert jnp.allclose(bm, tm, atol=1e-6)
+    ids = jnp.array([[3, 4], [5, 6]])
+    assert jnp.array_equal(embed_or_project(ids, table, time_major=True),
+                           embed_or_project(ids, table))
