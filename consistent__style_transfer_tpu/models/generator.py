@@ -335,8 +335,12 @@ class DenoiseSeq2Seq(nn.Module):
         else:
             carry0 = (h0, c0, x0)
         _, outs = step(carry0, (teacher, coins), memory, emb_table)
-        if time_major_out:
-            return outs  # (L_out, B, V) or (L_out, B) ids — scan-native
+        # time_major_out applies to SOFT (L, B, V) stacks only — that's where
+        # skipping the relayout saves 92 MB of copies. Integer id outputs are
+        # always batch-major (the transpose is tiny), so both backbones expose
+        # one contract (see train.common.generator_call).
+        if time_major_out and outs.ndim == 3:
+            return outs  # (L_out, B, V) — scan-native soft stack
         return jnp.swapaxes(outs, 0, 1)  # (B, L_out, V) or (B, L_out) ids
 
 

@@ -31,16 +31,15 @@ class TransformerLM(nn.Module):
     remat: bool = False  # recompute encoder layers in backward (see matcher.py)
 
     @nn.compact
-    def __call__(self, inputs, deterministic: bool = True,
-                 time_major: bool = False):
+    def __call__(self, inputs, deterministic: bool = True):
+        # No time_major path: the NT checker only ever consumes hard argmax
+        # ids (train/optimize.py val_step), so unlike the CLS/MAT/D scorers
+        # it never sees the generator's (L, B, V) soft stacks.
         tok = nn.Embed(self.n_vocab, self.d_model, embedding_init=embedding_init,
                        dtype=self.dtype, name="token_embedding")
         pos = nn.Embed(MAX_POS, self.d_model, embedding_init=xavier_uniform,
                        dtype=self.dtype, name="posit_embedding")
-        # time_major: soft inputs are (L, B, V); the projection absorbs the
-        # relayout, so L is read off the batch-major embedding
-        e = embed_or_project(inputs, tok.embedding.astype(self.dtype),
-                             time_major=time_major)
+        e = embed_or_project(inputs, tok.embedding.astype(self.dtype))
         e = e + pos(jnp.arange(e.shape[1]))[None, :, :]
         h = TransformerEncoder(self.n_layers, self.d_model, self.n_heads,
                                dtype=self.dtype, remat=self.remat,

@@ -90,14 +90,14 @@ def generator_call(model, params, inp, label_i, x, label, mode="sched",
     LSTM backbone handles every mode inside one apply; the transformer
     backbone's autoregressive modes run the KV-cached lax.scan driver.
 
-    ``time_major_out``: return soft outputs as (L, B, V) — the LSTM scan's
+    ``time_major_out``: return SOFT outputs as (L, B, V) — the LSTM scan's
     native stack layout, skipping its 92 MB (B, L, V) relayout (see
-    ``DenoiseSeq2Seq.__call__``). The transformer backbone decodes
-    batch-major natively, so there it is emulated with a swapaxes (only for
+    ``DenoiseSeq2Seq.__call__``). Integer id outputs are always batch-major
+    under BOTH backbones (the ids transpose is tiny, so the flag never
+    changes their layout). The transformer backbone decodes batch-major
+    natively, so there the soft case is emulated with a swapaxes (only for
     layout-contract consistency; ``Config.time_major_probs`` is an LSTM
     optimization and stays off for the transformer backbone)."""
-    import jax.numpy as jnp
-
     from ..models.seq2seq_transformer import TransformerSeq2Seq, generate
 
     if isinstance(model, TransformerSeq2Seq):

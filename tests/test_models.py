@@ -122,6 +122,25 @@ def test_generator_greedy_ids_match_sched_argmax(hard_batch, keys):
     np.testing.assert_array_equal(np.asarray(ids), np.asarray(jnp.argmax(logits, -1)))
 
 
+def test_generator_time_major_out_ids_stay_batch_major(hard_batch, keys):
+    """time_major_out applies to SOFT (L, B, V) stacks only; integer id
+    outputs are batch-major (B, L) regardless of the flag, so both backbones
+    expose one contract (train.common.generator_call)."""
+    x, labels = hard_batch
+    model = DenoiseSeq2Seq(n_vocab=V, n_class=NC, max_len=L)
+    params = model.init(keys[7], x, labels, None, labels, deterministic=True)
+    ids_tm = model.apply(params, x, labels, None, 1 - labels, mode="greedy",
+                         deterministic=True, time_major_out=True)
+    ids_bm = model.apply(params, x, labels, None, 1 - labels, mode="greedy",
+                         deterministic=True)
+    assert ids_tm.shape == (B, L)
+    np.testing.assert_array_equal(np.asarray(ids_tm), np.asarray(ids_bm))
+    soft_tm = model.apply(params, x, labels, None, 1 - labels, mode="st",
+                          tau=0.5, deterministic=True, time_major_out=True,
+                          rngs={"coin": keys[8]})
+    assert soft_tm.shape == (L, B, V)
+
+
 def test_generator_rep_penalty_blocks_repeats(hard_batch, keys):
     """With a large repetition penalty, greedy decode never emits the same
     content token (id >= 3) twice in a sentence; with penalty 0 the decode is
