@@ -105,6 +105,13 @@ class Config:
     # data than transposing the probs — RESULTS.md "copy bucket" item 2).
     # Losses are layout-invariant (tests/test_optimize_losses.py); LSTM
     # backbone only (the transformer decodes batch-major natively).
+    megastep_k: int = 1  # optimize-stage batches per device dispatch: >1
+    # scans k prefetched training batches inside ONE jitted dispatch
+    # (train/optimize.py megastep; trajectory-identical to the per-batch
+    # loop — tests/test_megastep.py). Amortizes per-dispatch latency, which
+    # dominates sustained throughput on tunneled hosts (~33 ms round-trip:
+    # RESULTS.md round-3 attribution; benched 8,710 vs sustained 7,118
+    # sent/s in BENCH_r04). 1 = per-batch dispatch.
     rep_penalty: float = 0.0  # greedy-decode repetition penalty (alpha >= 0);
     # subtracts alpha*count(token emitted so far) from the logits of content
     # tokens at inference. 0 = off (reference-faithful decode)

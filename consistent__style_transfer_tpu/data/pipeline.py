@@ -163,6 +163,39 @@ def collate_pretrain(max_len: int, wmd_labeler, p: float = 0.15,
     return fn
 
 
+class MegaBatches:
+    """Group a :class:`BatchIterator` into stacked (k, B, ...) super-batches
+    for the optimize megastep (ONE device dispatch scans k training batches —
+    train/optimize.py). The per-batch content and order are untouched, so the
+    training trajectory is identical to the per-batch loop; a final partial
+    group (n_batches % k) is yielded at its true size (one extra jit
+    specialization, compiled once)."""
+
+    def __init__(self, iterator, k: int):
+        assert k >= 1
+        self.iterator = iterator
+        self.k = k
+
+    def __iter__(self) -> Iterator[Batch]:
+        buf: list[Batch] = []
+
+        def flush():
+            arrays = {key: np.stack([b.arrays[key] for b in buf])
+                      for key in buf[0].arrays}
+            return Batch(arrays, valid=sum(b.valid for b in buf))
+
+        for batch in self.iterator:
+            buf.append(batch)
+            if len(buf) == self.k:
+                yield flush()
+                buf = []
+        if buf:
+            yield flush()
+
+    def __len__(self) -> int:
+        return -(-len(self.iterator) // self.k)
+
+
 def eval_arrays(batch: Batch) -> dict:
     """Batch arrays + a (B,) ``row_mask`` marking the real rows.
 

@@ -20,10 +20,14 @@ from .pipeline import Batch
 class DevicePrefetcher:
     """Iterate `(Batch, device_arrays)` with `depth` batches in flight."""
 
-    def __init__(self, iterator, mesh, depth: int = 2):
+    def __init__(self, iterator, mesh, depth: int = 2, shard_fn=None):
         self.iterator = iterator
         self.mesh = mesh
         self.depth = depth
+        # shard_fn(batch_arrays, mesh) -> device arrays; default = leading-
+        # axis batch sharding. The megastep passes shard_stacked_batch for
+        # its (k, B, ...) super-batches.
+        self.shard_fn = shard_batch if shard_fn is None else shard_fn
 
     def __iter__(self) -> Iterator[tuple[Batch, dict]]:
         q: queue.Queue = queue.Queue(maxsize=self.depth)
@@ -33,7 +37,7 @@ class DevicePrefetcher:
         def producer():
             try:
                 for batch in self.iterator:
-                    q.put((batch, shard_batch(batch.arrays, self.mesh)))
+                    q.put((batch, self.shard_fn(batch.arrays, self.mesh)))
             except BaseException as e:  # surface in consumer
                 errors.append(e)
             finally:

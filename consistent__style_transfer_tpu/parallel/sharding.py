@@ -100,6 +100,31 @@ def shard_batch(batch: dict, mesh: Mesh) -> dict:
     return out
 
 
+def stacked_batch_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
+    """Sharding for a (k, B, ...) super-batch: the megastep scan axis k is
+    replicated (every device walks all k steps), the batch axis B is data-
+    sharded exactly like :func:`batch_sharding`."""
+    return NamedSharding(mesh, P(None, "data", *([None] * (ndim - 2))))
+
+
+def shard_stacked_batch(batch: dict, mesh: Mesh) -> dict:
+    """:func:`shard_batch` for stacked (k, B, ...) super-batches (the
+    optimize megastep, train/optimize.py): axis 0 is the device-side scan
+    over k consecutive training batches, axis 1 the data-parallel batch.
+    Multi-host: each process holds its local rows of axis 1 for all k steps."""
+    out = {}
+    for k, v in batch.items():
+        if jax.process_count() > 1:
+            v = np.asarray(v)
+            out[k] = jax.make_array_from_process_local_data(
+                stacked_batch_sharding(mesh, v.ndim), v)
+            continue
+        if not isinstance(v, jax.Array):
+            v = np.asarray(v)
+        out[k] = jax.device_put(v, stacked_batch_sharding(mesh, v.ndim))
+    return out
+
+
 def shard_batch_multihost(batch: dict, mesh: Mesh) -> dict:
     """Multi-host batch placement: ``batch`` holds this process's LOCAL rows
     (global_batch / process_count of them); the returned jax.Arrays are

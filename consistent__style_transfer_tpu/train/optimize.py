@@ -40,7 +40,7 @@ import jax.numpy as jnp
 import optax
 
 from ..config import Config
-from ..data.pipeline import eval_arrays, make_batches
+from ..data.pipeline import MegaBatches, eval_arrays, make_batches
 from ..data.prefetch import DevicePrefetcher
 from ..ops.losses import (
     bce_with_logits,
@@ -146,6 +146,8 @@ class OptimizeSteps(NamedTuple):
     accumulate: callable
     val_step: callable
     fused_step: callable
+    megastep: callable  # k fused steps per dispatch (lax.scan over a stacked
+    # (k, B, ...) super-batch) — the production loop when Config.megastep_k>1
     fused_step_dyn_fn: callable  # unjitted: callers jit it themselves
     # with out_shardings pinned (see its docstring) — no pre-jitted export,
     # because plain jit of this variant on an explicit mesh is the
@@ -363,6 +365,45 @@ def make_optimize_steps(cfg: Config, models: OptimizeModels,
             acc = jax.tree.map(jnp.zeros_like, acc)
         return g_state, d_state, acc, aux, d_loss
 
+    @jax.jit
+    def megastep(g_state: TrainState, d_state: TrainState, acc, frozen,
+                 batches, base_key, d_base, step0, idx0, copy_scale=1.0):
+        """k fused per-batch steps in ONE device dispatch: ``lax.scan`` over
+        the stacked (k, B, ...) super-batch, body = ``_fused_core`` + a
+        ``lax.cond``-traced D apply on the reference cadence
+        (``(idx0 + i) % d_update_every == 0`` — epoch-local batch index, like
+        ``main_optimize.py:85-88``). RNG streams use the ABSOLUTE step index
+        ``step0 + i`` through the same ``_mk_rngs`` derivation, so the
+        training trajectory is bit-identical to k calls of ``fused_step``
+        (tests/test_megastep.py). The point: on hosts where per-dispatch
+        latency is high (this repo's tunneled chip: ~33 ms round-trip,
+        RESULTS.md round 3), dispatch overhead amortizes k-fold — the last
+        attributed gap between benched and sustained throughput.
+
+        Returns stacked (k,) aux/d_loss so callers can log per-batch values.
+        """
+        k = batches["x"].shape[0]
+
+        def body(carry, inp):
+            g_s, d_s, a = carry
+            batch, step, do_apply = inp
+            g_s, d_s, a, aux, d_loss = _fused_core(
+                g_s, d_s, a, frozen, batch, base_key, d_base, step,
+                copy_scale)
+            d_s, a = jax.lax.cond(
+                do_apply,
+                lambda ds, ac: (ds.apply_gradients(ac),
+                                jax.tree.map(jnp.zeros_like, ac)),
+                lambda ds, ac: (ds, ac),
+                d_s, a)
+            return (g_s, d_s, a), (aux, d_loss)
+
+        steps_i = step0 + jnp.arange(k)
+        do_apply = ((idx0 + jnp.arange(k)) % cfg.d_update_every) == 0
+        (g_state, d_state, acc), (aux, d_loss) = jax.lax.scan(
+            body, (g_state, d_state, acc), (batches, steps_i, do_apply))
+        return g_state, d_state, acc, aux, d_loss
+
     def fused_step_dyn_fn(g_state: TrainState, d_state: TrainState, acc,
                           frozen, batch, base_key, d_base, step, do_apply,
                           copy_scale=1.0):
@@ -391,7 +432,7 @@ def make_optimize_steps(cfg: Config, models: OptimizeModels,
         return g_state, d_state, acc, aux, d_loss
 
     return OptimizeSteps(g_step, d_grads, d_grads_reuse, d_apply, accumulate,
-                         val_step, fused_step, fused_step_dyn_fn)
+                         val_step, fused_step, megastep, fused_step_dyn_fn)
 
 
 def run_optimize(cfg: Config, progress: bool = True,
@@ -466,30 +507,58 @@ def run_optimize(cfg: Config, progress: bool = True,
 
     acc = jax.tree.map(jnp.zeros_like, d_state.params)
     d_base = jax.random.fold_in(key, 1)
+    mega_k = max(1, cfg.megastep_k)
     step = 0
     for epoch in range(start_epoch, cfg.epochs):
         ep_thru = Throughput()
         copy_scale = cfg.w_copy_decay ** epoch  # 1.0 unless decay configured
-        for batch_idx, (batch, arrays) in enumerate(DevicePrefetcher(train_it, mesh)):
-            g_state, d_state, acc, aux, d_loss = fused_step(
-                g_state, d_state, acc, frozen, arrays, key, d_base, step,
-                do_apply=(batch_idx % cfg.d_update_every == 0),
-                copy_scale=copy_scale)
-            thru.add(cfg.batch_size)
-            ep_thru.add(cfg.batch_size)
-            if step % 20 == 0:
-                logger.log(step, D=d_loss, **aux, **thru.rates())
-            step += 1
+        if mega_k > 1:
+            # production fast path: ONE dispatch per k batches (trajectory-
+            # identical to the per-batch loop — tests/test_megastep.py)
+            from ..parallel.sharding import shard_stacked_batch
 
-        # validation + best-G retention (main_optimize.py:127-151)
-        total, weight = 0.0, 0
+            batch_idx = 0
+            for _, arrays in DevicePrefetcher(
+                    MegaBatches(train_it, mega_k), mesh,
+                    shard_fn=shard_stacked_batch):
+                kk = int(arrays["x"].shape[0])
+                g_state, d_state, acc, auxs, d_losses = steps.megastep(
+                    g_state, d_state, acc, frozen, arrays, key, d_base,
+                    step, batch_idx, copy_scale)
+                thru.add(kk * cfg.batch_size)
+                ep_thru.add(kk * cfg.batch_size)
+                if (step // 20) != ((step + kk) // 20):
+                    # same ~every-20-batches cadence; device-side window
+                    # means, one fetch per log
+                    logger.log(step + kk - 1, D=jnp.mean(d_losses),
+                               **{k: jnp.mean(v) for k, v in auxs.items()},
+                               **thru.rates())
+                step += kk
+                batch_idx += kk
+        else:
+            for batch_idx, (batch, arrays) in enumerate(DevicePrefetcher(train_it, mesh)):
+                g_state, d_state, acc, aux, d_loss = fused_step(
+                    g_state, d_state, acc, frozen, arrays, key, d_base, step,
+                    do_apply=(batch_idx % cfg.d_update_every == 0),
+                    copy_scale=copy_scale)
+                thru.add(cfg.batch_size)
+                ep_thru.add(cfg.batch_size)
+                if step % 20 == 0:
+                    logger.log(step, D=d_loss, **aux, **thru.rates())
+                step += 1
+
+        # validation + best-G retention (main_optimize.py:127-151); losses
+        # stay on device until ONE fetch at the end — per-batch float()
+        # fetches would serialize a dispatch round-trip per dev batch
+        totals, weight = [], 0
         for batch in dev_it:
             loss = val_step(g_state.params, frozen,
                             shard_batch(eval_arrays(batch), mesh))
-            total += float(loss) * batch.valid
+            totals.append(loss * batch.valid)
             weight += batch.valid
-        val_loss = total / max(weight, 1)
-        # the float() fetches above forced completion of all queued work, so
+        val_loss = (float(jnp.sum(jnp.stack(totals))) / max(weight, 1)
+                    if totals else 0.0)
+        # the float() fetch above forced completion of all queued work, so
         # the epoch rate (train batches / wall incl. validation) is honest
         if stats is not None:
             stats.append({"epoch": epoch, "sentences": ep_thru.sentences,

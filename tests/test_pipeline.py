@@ -27,6 +27,9 @@ def cfg(tiny_corpus, tmp_path_factory):
     # exercise the style-aware masked copy regularizer in the full pipeline
     # (weights computed from the train corpus in run_optimize)
     cfg.w_copy = 0.1
+    # exercise the megastep production path (stacked super-batches over the
+    # 2-device data mesh, incl. the partial tail group)
+    cfg.megastep_k = 2
     return cfg
 
 
