@@ -82,7 +82,12 @@ class Config:
     # equal-or-better on all six metrics (RESULTS.md "RNG impl A/B").
     # "threefry" = JAX's counter-based software PRNG, bit-reproducible with
     # pre-round-4 artifacts.
-    dtype: str = "float32"  # compute dtype: float32 | bfloat16
+    dtype: str = "bfloat16"  # compute dtype: bfloat16 (default) | float32.
+    # bfloat16 is the headline configuration every benched number uses
+    # (BENCH_r04, RESULTS.md) and was A/B'd quality-neutral twice (RESULTS.md
+    # item 5 and rcm03_bf16: all six eval metrics within noise of float32 at
+    # 270k scale) — same evidence standard that flipped rng_impl. float32
+    # remains one flag away for bit-comparisons with older artifacts.
     mesh: MeshConfig = field(default_factory=MeshConfig)
     fuse_gan_steps: bool = False  # reuse the G-step's fake decode for the D
     # step (saves ~1/3 of optimize compute; reference recomputes it under
@@ -99,10 +104,12 @@ class Config:
     # backward traffic, not scorer attention probs; RESULTS.md "remat
     # scorers A/B"). Kept as a memory lever for larger scorer towers;
     # benchmarks/profile_breakdown.py --remat-scorers measures the trade.
-    time_major_probs: bool = False  # keep the G-step's soft decode stacks in
+    time_major_probs: bool = True  # keep the G-step's soft decode stacks in
     # the scan's native (L, B, V) layout end-to-end: the scorers fuse the
     # batch-major relayout after their V->d projection (33-77x less copied
-    # data than transposing the probs — RESULTS.md "copy bucket" item 2).
+    # data than transposing the probs). Measured on-chip round 5: fused
+    # optimize step 29.0 -> 28.2 ms (-2.9%), decode/val unchanged
+    # (artifacts/round5/tm_{off,on}.json) — flipped on that evidence.
     # Losses are layout-invariant (tests/test_optimize_losses.py); LSTM
     # backbone only (the transformer decodes batch-major natively).
     megastep_k: int = 1  # optimize-stage batches per device dispatch: >1
@@ -176,11 +183,36 @@ DATASET_PRESETS = {
     "book": {"max_len": 30, "batch_size": 128},
 }
 
+# Named operating-point presets (applied on top of the dataset preset,
+# before explicit overrides). `ref_band` is the measured recipe that lands
+# inside the reference's published operating band (results.md:3-8) on the
+# 540k control corpus: NT 0.302 / ACC 0.876 / self-BLEU 40.6 / CP 0.332
+# (RESULTS.md "NT-band control", artifacts/round4/ntctl_d.json). The plain
+# default keeps the reference's w_s=0.1 (src/arguments.py:24), which
+# saturates transfer (ACC~0.98, NT~0.20); this preset is the shipped
+# band-matching configuration. Reproduce end-to-end with one command:
+#   python tools/dress_rehearsal.py --preset ref_band --mult 135 \
+#          --recombine 0.5 --epochs 6
+# (--recombine is a corpus-synthesis knob, not a Config field.)
+PRESETS = {
+    "ref_band": {
+        "w_s": 0.0075,
+        "w_copy": 0.4,
+        "w_copy_decay": 0.6,
+        "warmup_epochs": 2,
+    },
+}
 
-def make_config(dataset: str = "yelp", **overrides) -> Config:
+
+def make_config(dataset: str = "yelp", preset: str | None = None,
+                **overrides) -> Config:
     cfg = Config(dataset=dataset)
-    preset = DATASET_PRESETS.get(dataset, {})
-    for k, v in {**preset, **overrides}.items():
+    named = {}
+    if preset:
+        if preset not in PRESETS:
+            raise ValueError(f"unknown preset {preset!r} (have {sorted(PRESETS)})")
+        named = PRESETS[preset]
+    for k, v in {**DATASET_PRESETS.get(dataset, {}), **named, **overrides}.items():
         if not hasattr(cfg, k):
             raise ValueError(f"unknown config field {k!r}")
         setattr(cfg, k, v)
@@ -204,12 +236,16 @@ def config_from_args(argv=None) -> Config:
             parser.add_argument(f"--{f.name}", type=t)
     parser.add_argument("--n_data", type=int)
     parser.add_argument("--n_model", type=int)
+    parser.add_argument("--preset", choices=sorted(PRESETS),
+                        help="named operating-point preset (e.g. ref_band); "
+                        "explicit flags still win")
     args = vars(parser.parse_args(argv))
     dataset = args.pop("dataset", None) or "yelp"
     n_data = args.pop("n_data", None)
     n_model = args.pop("n_model", None)
+    preset = args.pop("preset", None)
     overrides = {k: v for k, v in args.items() if v is not None}
-    cfg = make_config(dataset, **overrides)
+    cfg = make_config(dataset, preset=preset, **overrides)
     if n_data is not None:
         cfg.mesh.n_data = n_data
     if n_model is not None:

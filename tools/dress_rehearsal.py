@@ -42,6 +42,10 @@ def main() -> None:
     ap.add_argument("--w-s", type=float, default=None,
                     help="style-CE weight override (reference default 0.1) — "
                     "the operating-point lever for the NT-band control runs")
+    ap.add_argument("--preset", default=None,
+                    help="named Config preset (config.PRESETS), e.g. "
+                    "ref_band — the shipped band-matching operating point; "
+                    "explicit flags still win")
     ap.add_argument("--warmup-epochs", type=int, default=None)
     ap.add_argument("--rng-impl", default=None, choices=["threefry", "rbg"],
                     help="PRNG behind dropout/sampling keys (Config.rng_impl)")
@@ -177,6 +181,7 @@ def main() -> None:
     def cfg_for(stage_mode: str = "train"):
         cfg = make_config(
             args.dataset,
+            preset=args.preset,
             data_dir=data_dir,
             dump_dir=f"{base}/dump",
             log_dir=f"{base}/log",
