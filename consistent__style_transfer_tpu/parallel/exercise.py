@@ -27,6 +27,7 @@ def optimize_step_on_mesh(n_data: int, n_model: int, *, vocab: int = 256,
                           max_len: int = 6, batch: int | None = None,
                           n_steps: int = 1, ckpt_dir: str | None = None,
                           small_scorers: bool = True,
+                          dtype: str | None = None,
                           verbose: bool = False) -> dict:
     """Run ``n_steps`` sharded fused GAN steps + a val step; return scalars.
 
@@ -87,6 +88,10 @@ def optimize_step_on_mesh(n_data: int, n_model: int, *, vocab: int = 256,
     if small_scorers:
         # same TP rules (parallel/sharding.py::TP_RULES), ~25x less compile
         cfg.scorer_layers, cfg.scorer_d_model, cfg.scorer_heads = 2, 128, 4
+    if dtype is not None:
+        # exact cross-topology loss comparisons pin f32 (bf16 accumulation
+        # order differs between XLA-internal and gloo cross-process reduces)
+        cfg.dtype = dtype
     models = OptimizeModels(cfg, V)
 
     key = jax.random.PRNGKey(0)
@@ -108,21 +113,31 @@ def optimize_step_on_mesh(n_data: int, n_model: int, *, vocab: int = 256,
         param_shardings,
     )
 
+    from consistent__style_transfer_tpu.parallel.sharding import global_put
+
     g_state = TrainState.create(g_params, adam_with_clip(1e-5, 1.0))
     d_state = TrainState.create(d_params, adam_with_clip(1e-5, 1.0))
     # place the FULL states on the mesh (optax scalars land on device 0
-    # otherwise) — same layout the checkpoint-restore path re-establishes
-    g_state = jax.device_put(g_state, param_shardings(g_state, mesh))
-    d_state = jax.device_put(d_state, param_shardings(d_state, mesh))
+    # otherwise) — same layout the checkpoint-restore path re-establishes;
+    # global_put = device_put that also works under jax.process_count()>1
+    g_state = global_put(g_state, param_shardings(g_state, mesh))
+    d_state = global_put(d_state, param_shardings(d_state, mesh))
     steps = make_optimize_steps(cfg, models)
 
-    data = shard_batch(
-        {
-            "x": np.random.RandomState(0).randint(0, V, (B, L)).astype(np.int32),
-            "labels": np.random.RandomState(1).randint(0, 2, (B,)).astype(np.int32),
-        },
-        mesh,
-    )
+    data_host = {
+        "x": np.random.RandomState(0).randint(0, V, (B, L)).astype(np.int32),
+        "labels": np.random.RandomState(1).randint(0, 2, (B,)).astype(np.int32),
+    }
+    if jax.process_count() > 1:
+        # multi-controller contract (shard_batch_multihost): every process
+        # feeds only its LOCAL rows of the global batch — host h yields rows
+        # [h*B/H, (h+1)*B/H). The global batch above is seed-deterministic,
+        # so losses must match a single-process run bit-for-bit in f32
+        # (tests/test_multiprocess.py asserts this).
+        h, n_proc = jax.process_index(), jax.process_count()
+        rows = B // n_proc
+        data_host = {k: v[h * rows:(h + 1) * rows] for k, v in data_host.items()}
+    data = shard_batch(data_host, mesh)
     # the production per-batch entry, with do_apply TRACED (lax.cond) so the
     # whole loop — both the accumulate-only and the apply batches, plus the
     # post-restore continuation — is ONE compilation. Output shardings are

@@ -62,12 +62,31 @@ def param_shardings(params, mesh: Mesh, rules=None):
     return jax.tree_util.tree_map_with_path(spec_for, params)
 
 
+def global_put(tree, shardings):
+    """``jax.device_put(tree, shardings)`` that also works under multi-
+    process execution (``jax.process_count() > 1``), where a plain
+    device_put of a host array onto a sharding spanning non-addressable
+    devices is not allowed. Every process must hold the SAME full host
+    values (true for seeded inits and replicated state);
+    ``jax.make_array_from_callback`` then hands each process exactly its
+    addressable shards. Single-process: identical to device_put."""
+    if jax.process_count() == 1:
+        return jax.device_put(tree, shardings)
+
+    def put(x, sh):
+        x = np.asarray(x)
+        return jax.make_array_from_callback(x.shape, sh, lambda idx: x[idx])
+
+    return jax.tree.map(put, tree, shardings)
+
+
 def replicate(tree, mesh: Mesh):
-    return jax.device_put(tree, NamedSharding(mesh, P()))
+    return global_put(tree, jax.tree.map(
+        lambda _: NamedSharding(mesh, P()), tree))
 
 
 def shard_params(params, mesh: Mesh, rules=None):
-    return jax.device_put(params, param_shardings(params, mesh, rules))
+    return global_put(params, param_shardings(params, mesh, rules))
 
 
 def batch_sharding(mesh: Mesh, ndim: int) -> NamedSharding:

@@ -65,6 +65,7 @@ from .common import (
 from .infer import run_inference
 from .loop import EarlyStopper, Throughput
 from .state import (
+    AsyncSaver,
     BestKeeper,
     TrainState,
     adam_with_clip,
@@ -478,7 +479,11 @@ def run_optimize(cfg: Config, progress: bool = True,
     fused_step, val_step = steps.fused_step, steps.val_step
     logger = RunLogger(f"{cfg.log_dir}/{cfg.dataset}", "optimize", cfg.ver, config=cfg)
     stopper = EarlyStopper(cfg.optimize_patience)
-    keeper = BestKeeper("min")
+    # best-G save + previous-best delete run on a worker thread, overlapped
+    # with the next epoch's dispatches (the reference's torch.save sits on
+    # the epoch-end critical path, main_optimize.py:144-151)
+    saver = AsyncSaver()
+    keeper = BestKeeper("min", saver=saver)
     thru = Throughput()
 
     # full-state resume (params + both Adam states + epoch + best-val) — a
@@ -579,6 +584,8 @@ def run_optimize(cfg: Config, progress: bool = True,
         if stopper.update(val_loss):
             break
 
+    saver.close()  # drain pending best-G writes (+ re-raise worker errors)
+    # BEFORE the caller loads keeper.last_path (run_test / dress rehearsals)
     if ckpt is not None:
         ckpt.close()
     logger.close()

@@ -46,7 +46,14 @@ from .common import (
     get_w2v,
 )
 from .loop import EarlyStopper, Throughput
-from .state import TrainState, adam_with_clip, load_params, params_exist, save_params
+from .state import (
+    AsyncSaver,
+    TrainState,
+    adam_with_clip,
+    load_params,
+    params_exist,
+    save_params,
+)
 
 TASKS = ("cls", "mat", "dn")
 
@@ -150,6 +157,10 @@ def run_pretrain(cfg: Config, progress: bool = True) -> dict[str, str]:
     stopper = EarlyStopper(cfg.pretrain_patience)
     best = {t: float("inf") for t in TASKS}
     thru = Throughput()
+    # per-task best saves run on a worker thread, overlapped with the next
+    # epoch's dispatches (VERDICT r4 item 8; reference serializes three
+    # torch.save calls at every improving epoch end, main_pretrain.py:92-110)
+    saver = AsyncSaver()
 
     step = 0
     for epoch in range(cfg.epochs):
@@ -166,18 +177,22 @@ def run_pretrain(cfg: Config, progress: bool = True) -> dict[str, str]:
                            **thru.rates())
             step += 1
 
-        # validation epoch end: freeze-on-plateau per task
-        sums = {t: 0.0 for t in TASKS}
+        # validation epoch end: freeze-on-plateau per task. Per-task losses
+        # stay ON DEVICE until one fetch per task after the loop — per-batch
+        # float() fetches would serialize a dispatch round-trip per dev
+        # batch (the tunnel's ~33 ms each; same fix as optimize's val loop)
+        totals = {t: [] for t in TASKS}
         weights = 0
         for batch in dev_it:
             parts = eval_step(state.params, shard_batch(eval_arrays(batch), mesh),
                               ftuple)
             for t, v in parts.items():
-                sums[t] += float(v) * batch.valid
+                totals[t].append(v * batch.valid)
             weights += batch.valid
-        val = {t: sums[t] / max(weights, 1) for t in TASKS if flags[t]}
-        # the float() fetches above forced completion of all queued work, so
-        # the epoch rate (train batches / wall incl. validation) is honest
+        val = {t: float(jnp.sum(jnp.stack(totals[t]))) / max(weights, 1)
+               for t in TASKS if flags[t]}
+        # the fetches above forced completion of all queued work, so the
+        # epoch rate (train batches / wall incl. validation) is honest
         ep_rate = ep_sent / max(time.time() - ep_t0, 1e-6)
         for t in TASKS:
             if not flags[t]:
@@ -186,7 +201,7 @@ def run_pretrain(cfg: Config, progress: bool = True) -> dict[str, str]:
                 flags[t] = False  # permanent freeze (main_pretrain.py:100-102)
             else:
                 best[t] = val[t]
-                save_params(state.params[t], paths[t])
+                saver.submit(state.params[t], paths[t])
         val_loss = sum(v for v in best.values() if v != float("inf"))
         logger.log(step, val_loss=val_loss, epoch=epoch,
                    epoch_sent_per_s=ep_rate,
@@ -197,6 +212,8 @@ def run_pretrain(cfg: Config, progress: bool = True) -> dict[str, str]:
         if stopper.update(val_loss):
             break
 
+    saver.close()  # drain pending saves (+ re-raise worker errors) BEFORE
+    # anything reads the dumps (warmup/optimize load them right after)
     for t in TASKS:  # guarantee artifacts even on a 1-epoch degenerate run
         if not os.path.exists(paths[t]):
             save_params(jax.device_get(state.params[t]), paths[t])

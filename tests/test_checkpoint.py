@@ -3,6 +3,7 @@ import numpy as np
 from consistent__style_transfer_tpu.train.checkpoint import StateCheckpointer
 from consistent__style_transfer_tpu.train.loop import EarlyStopper
 from consistent__style_transfer_tpu.train.state import (
+    AsyncSaver,
     BestKeeper,
     load_params,
     newest_checkpoint,
@@ -54,6 +55,40 @@ def test_best_keeper_delete_previous(tmp_path):
     assert keeper.update(1.0, p, b, delete_previous=True)
     assert os.path.exists(b) and not os.path.exists(a)  # previous best deleted
     assert newest_checkpoint(str(tmp_path)) == b
+
+
+def test_best_keeper_async_saver(tmp_path):
+    """The overlapped-save path (BestKeeper + AsyncSaver worker thread) must
+    produce the same disk state as the synchronous path, including the
+    previous-best delete, once drained (train/optimize.py epoch end)."""
+    import os
+
+    saver = AsyncSaver()
+    keeper = BestKeeper("min", saver=saver)
+    p = {"w": np.ones(2, np.float32)}
+    a = str(tmp_path / "G_epoch_0.msgpack")
+    b = str(tmp_path / "G_epoch_1.msgpack")
+    assert keeper.update(2.0, p, a, delete_previous=True)
+    assert not keeper.update(3.0, p, b, delete_previous=True)
+    assert keeper.update(1.0, {"w": 2 * np.ones(2, np.float32)}, b,
+                         delete_previous=True)
+    saver.close()
+    assert os.path.exists(b) and not os.path.exists(a)
+    restored = load_params(b, {"w": np.zeros(2, np.float32)})
+    np.testing.assert_array_equal(restored["w"], 2 * np.ones(2, np.float32))
+
+
+def test_async_saver_reraises_worker_errors(tmp_path):
+    import os
+
+    import pytest
+
+    saver = AsyncSaver()
+    as_dir = str(tmp_path / "p.msgpack")
+    os.makedirs(as_dir)  # open(path, "wb") on a directory raises in-worker
+    saver.submit({"w": np.ones(2)}, as_dir)
+    with pytest.raises(OSError):
+        saver.close()
 
 
 def test_save_load_params_roundtrip(tmp_path):
