@@ -61,6 +61,12 @@ def measure_sustained() -> list[dict]:
         ver="bench",
     )
     cfg.dtype = os.environ.get("TPUST_BENCH_DTYPE", "bfloat16")
+    # megastep_k follows the shipped default (1). The round-5 A/B showed
+    # k=8 is within noise of k=1 at this corpus size (7,504 vs 7,772
+    # sent/s steady) because dispatches are async — the r4 sustained gap
+    # was the SYNC epoch-end saves, fixed by AsyncSaver (RESULTS.md
+    # "Sustained-vs-benched"). Env override kept for experiments.
+    cfg.megastep_k = int(os.environ.get("TPUST_BENCH_MEGASTEP", "1"))
     if not os.path.exists(cfg.train_files()[0]):
         return []
 

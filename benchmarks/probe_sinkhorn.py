@@ -63,19 +63,19 @@ def main() -> None:
     results = {"jnp_ms": round(time_jnp(), 3), "variants": []}
     print(f"jnp sinkhorn: {results['jnp_ms']} ms / {B} pairs", flush=True)
 
-    for group, lanes in ((8, 128), (1, 128), (8, 64), (1, 64), (4, 128)):
-        row = {"group": group, "lanes": lanes}
+    from consistent__style_transfer_tpu.kernels.sinkhorn import (
+        sinkhorn_pallas_cr,
+    )
+
+    def probe(row, fn):
         try:
-            out = sinkhorn_pallas(p, q, D, n_iters=args.iters,
-                                  group=group, lanes=lanes)
-            got = np.asarray(out)
+            got = np.asarray(fn())
             row["compiled"] = True
             row["max_abs_err"] = float(np.max(np.abs(got - ref)))
             times = []
             for _ in range(5):
                 t0 = time.perf_counter()
-                np.asarray(sinkhorn_pallas(p, q, D, n_iters=args.iters,
-                                           group=group, lanes=lanes))
+                np.asarray(fn())
                 times.append(time.perf_counter() - t0)
             row["ms"] = round(float(min(times) * 1e3), 3)
         except Exception as e:
@@ -83,6 +83,16 @@ def main() -> None:
             row["error"] = str(e).splitlines()[0][:200]
         print(json.dumps(row), flush=True)
         results["variants"].append(row)
+
+    # transpose-free column/row-layout variant first (round 5 final attempt:
+    # in-kernel transposes are the suspected Mosaic-crash op class)
+    probe({"variant": "cr", "lanes": 128},
+          lambda: sinkhorn_pallas_cr(p, q, D, n_iters=args.iters))
+
+    for group, lanes in ((8, 128), (1, 128), (8, 64), (1, 64), (4, 128)):
+        probe({"group": group, "lanes": lanes},
+              lambda group=group, lanes=lanes: sinkhorn_pallas(
+                  p, q, D, n_iters=args.iters, group=group, lanes=lanes))
 
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:

@@ -85,6 +85,89 @@ def _kernel(p_ref, q_ref, d_ref, out_ref, *, epsilon: float, n_iters: int):
         out_ref[g : g + 1, :] = jnp.sum(T * D).reshape(1, 1)
 
 
+def _kernel_cr(p_ref, q_ref, d_ref, out_ref, *, epsilon: float, n_iters: int):
+    """Transpose-free variant: the row potential arrives as an (N, 1) COLUMN
+    and the column potential as a (1, M) ROW (shaped by the caller), so every
+    update is a pure broadcast + keepdims reduction — no in-kernel transpose,
+    the op class suspected of crashing this environment's Mosaic helper on
+    :func:`_kernel` (HTTP 500 with no diagnostic). One pair per program."""
+    p = p_ref[0]   # (Np, 1)
+    q = q_ref[0]   # (1, Mp)
+    D = d_ref[0]   # (Np, Mp)
+    pm = p > 0
+    qm = q > 0
+    pair = pm & qm  # (Np, Mp) via broadcast — no .T
+    logp = jnp.where(pm, jnp.log(jnp.where(pm, p, 1.0)), _NEG)
+    logq = jnp.where(qm, jnp.log(jnp.where(qm, q, 1.0)), _NEG)
+    logK = jnp.where(pair, -D / epsilon, _NEG)
+
+    def lse(x, axis):
+        x = jnp.where(pair, x, _NEG)
+        m = jnp.maximum(jnp.max(x, axis=axis, keepdims=True), _NEG / 2)
+        return m + jnp.log(jnp.sum(jnp.exp(x - m), axis=axis, keepdims=True))
+
+    def body(_, carry):
+        logu, logv = carry  # (Np, 1), (1, Mp)
+        logu = jnp.where(pm, logp - lse(logK + logv, 1), _NEG)
+        logv = jnp.where(qm, logq - lse(logK + logu, 0), _NEG)
+        return logu, logv
+
+    logu0 = jnp.where(pm, jnp.zeros_like(p), _NEG)
+    logv0 = jnp.where(qm, jnp.zeros_like(q), _NEG)
+    logu, logv = jax.lax.fori_loop(0, n_iters, body, (logu0, logv0))
+    T = jnp.where(pair, jnp.exp(logu + logK + logv), 0.0)
+    out_ref[0] = jnp.sum(T * D).reshape(1, 1)
+
+
+@functools.partial(jax.jit, static_argnames=("epsilon", "n_iters",
+                                              "interpret", "lanes"))
+def sinkhorn_pallas_cr(p, q, D, epsilon: float = 0.05, n_iters: int = 100,
+                       interpret: bool = False, lanes: int = LANES):
+    """Column/row-layout Sinkhorn: semantics identical to
+    :func:`sinkhorn_pallas` (and ``ops.emd.sinkhorn_ot_cost``), but the
+    potentials are shaped OUTSIDE the kernel — p as (B, Np, 1), q as
+    (B, 1, Mp) — making every block's trailing dims tile-legal ((Np, 1):
+    Np%8==0, last dim equal to the array's; (1, Mp): Mp%128==0) and the
+    kernel body transpose-free. fp32 only; one pair per grid program."""
+    p = jnp.asarray(p, jnp.float32)
+    q = jnp.asarray(q, jnp.float32)
+    D = jnp.asarray(D, jnp.float32)
+    B, N = p.shape
+    M = q.shape[1]
+    Np = -(-N // lanes) * lanes
+    Mp = -(-M // lanes) * lanes
+    p = jnp.pad(p, ((0, 0), (0, Np - N)))[:, :, None]    # (B, Np, 1)
+    q = jnp.pad(q, ((0, 0), (0, Mp - M)))[:, None, :]    # (B, 1, Mp)
+    D = jnp.pad(D, ((0, 0), (0, Np - N), (0, Mp - M)))   # (B, Np, Mp)
+
+    kwargs = {}
+    if _HAVE_PLTPU and not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=max(8 * Np * Mp * 4, 4 << 20),
+        )
+    mem = pltpu.VMEM if (_HAVE_PLTPU and not interpret) else None
+
+    def spec(block, index_map):
+        if mem is None:
+            return pl.BlockSpec(block, index_map)
+        return pl.BlockSpec(block, index_map, memory_space=mem)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel_cr, epsilon=epsilon, n_iters=n_iters),
+        grid=(B,),
+        in_specs=[
+            spec((1, Np, 1), lambda b: (b, 0, 0)),
+            spec((1, 1, Mp), lambda b: (b, 0, 0)),
+            spec((1, Np, Mp), lambda b: (b, 0, 0)),
+        ],
+        out_specs=spec((1, 1, 1), lambda b: (b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, 1, 1), jnp.float32),
+        interpret=interpret,
+        **kwargs,
+    )(p, q, D)
+    return out[:, 0, 0]
+
+
 @functools.partial(jax.jit, static_argnames=(
     "epsilon", "n_iters", "interpret", "group", "lanes"))
 def sinkhorn_pallas(p, q, D, epsilon: float = 0.05, n_iters: int = 100,

@@ -10,7 +10,10 @@ from consistent__style_transfer_tpu.kernels.decode_step import (
     decode_head_reference,
     fused_decode_logits,
 )
-from consistent__style_transfer_tpu.kernels.sinkhorn import sinkhorn_pallas
+from consistent__style_transfer_tpu.kernels.sinkhorn import (
+    sinkhorn_pallas,
+    sinkhorn_pallas_cr,
+)
 from consistent__style_transfer_tpu.ops.emd import sinkhorn_ot_cost
 
 
@@ -29,6 +32,26 @@ def test_sinkhorn_pallas_matches_jnp():
     ref = np.asarray(sinkhorn_ot_cost(p, q, D, epsilon=0.05, n_iters=50))
     got = np.asarray(sinkhorn_pallas(p, q, D, epsilon=0.05, n_iters=50,
                                      interpret=True))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_sinkhorn_pallas_cr_matches_jnp():
+    """Transpose-free column/row-layout variant — same semantics, blocks
+    shaped for Mosaic tile legality (kernels/sinkhorn.py::_kernel_cr)."""
+    rng = np.random.default_rng(2)
+    B, N, M = 5, 9, 7  # deliberately non-tile shapes -> exercises padding
+    p = rng.random((B, N)).astype(np.float32)
+    q = rng.random((B, M)).astype(np.float32)
+    p[:, 7:] = 0
+    q[:, 5:] = 0
+    p /= p.sum(-1, keepdims=True)
+    q /= q.sum(-1, keepdims=True)
+    x = rng.normal(size=(B, N, 3))
+    y = rng.normal(size=(B, M, 3))
+    D = np.linalg.norm(x[:, :, None] - y[:, None, :], axis=-1).astype(np.float32)
+    ref = np.asarray(sinkhorn_ot_cost(p, q, D, epsilon=0.05, n_iters=50))
+    got = np.asarray(sinkhorn_pallas_cr(p, q, D, epsilon=0.05, n_iters=50,
+                                        interpret=True))
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
 
 
