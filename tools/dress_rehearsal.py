@@ -62,6 +62,10 @@ def main() -> None:
     ap.add_argument("--stop-after", default="",
                     help="stop after this stage (corpus|vocab|w2v) — used by "
                     "tests to validate the data seam without training")
+    ap.add_argument("--set", action="append", default=[], dest="overrides",
+                    help="extra Config overrides applied to every stage, "
+                    "e.g. --set backbone=transformer (same contract as "
+                    "tools/smoke_quality.py)")
     args = ap.parse_args()
     base = os.path.abspath(args.base)
     out_path = args.out or f"{base}/rehearsal.json"
@@ -201,6 +205,11 @@ def main() -> None:
             cfg.rng_impl = args.rng_impl
         if args.warmup_epochs is not None:
             cfg.warmup_epochs = args.warmup_epochs
+        for kv in args.overrides:
+            k, v = kv.split("=", 1)
+            cur = getattr(cfg, k)  # unknown keys raise loudly
+            setattr(cfg, k,
+                    v in ("1", "true") if isinstance(cur, bool) else type(cur)(v))
         return cfg
 
     cfg = cfg_for()
