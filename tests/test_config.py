@@ -42,6 +42,32 @@ def test_derived_paths():
     assert cfg.split_files("dev") == ["data/yelp/style.dev.0", "data/yelp/style.dev.1"]
 
 
+def test_named_presets():
+    """PRESETS ships measured operating points (RESULTS.md "NT-band control"):
+    ref_band = the band-matching recipe (w_s 0.0075, decayed masked copy)."""
+    import dataclasses
+
+    import pytest
+
+    from consistent__style_transfer_tpu.config import PRESETS, Config
+
+    cfg = make_config("yelp", preset="ref_band")
+    assert (cfg.w_s, cfg.w_copy, cfg.w_copy_decay) == (0.0075, 0.4, 0.6)
+    assert cfg.warmup_epochs == 2
+    # dataset preset still applies underneath the named preset
+    assert (cfg.max_len, cfg.batch_size) == (18, 256)
+    # explicit overrides win over the named preset
+    assert make_config("yelp", preset="ref_band", w_s=0.5).w_s == 0.5
+    with pytest.raises(ValueError):
+        make_config("yelp", preset="no_such_preset")
+    # every preset key must be a real Config field (drift guard)
+    fields = {f.name for f in dataclasses.fields(Config)}
+    for name, knobs in PRESETS.items():
+        assert set(knobs) <= fields, name
+    # the CLI flag path reaches the same preset
+    assert config_from_args(["--dataset=yelp", "--preset=ref_band"]).w_s == 0.0075
+
+
 def test_unknown_override_rejected():
     import pytest
 
